@@ -1,0 +1,111 @@
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as tF
+
+from segmif_tpu.ops import (
+    gaussian_blur,
+    gaussian_kernel_2d_grid,
+    sobel_magnitude,
+    ssim,
+    unsharp_pyramid,
+    patch_entropy,
+)
+
+
+def _torch_depthwise(x_nhwc, k2d, pad):
+    """Oracle: torch depthwise conv with zero padding."""
+    x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    c = x.shape[1]
+    k = torch.from_numpy(k2d)[None, None].repeat(c, 1, 1, 1)
+    y = tF.conv2d(x, k, padding=pad, groups=c)
+    return np.transpose(y.numpy(), (0, 2, 3, 1))
+
+
+def test_sobel_vs_torch(rng):
+    x = rng.normal(size=(2, 10, 12, 1)).astype(np.float32)
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32)
+    ky = np.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=np.float32)
+    expect = np.abs(_torch_depthwise(x, kx, 1)) + np.abs(_torch_depthwise(x, ky, 1))
+    got = np.asarray(sobel_magnitude(jnp.asarray(x)))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_gaussian_kernel_normalized():
+    for size in (3, 5, 7):
+        k = np.asarray(gaussian_kernel_2d_grid(size, 2.0))
+        assert abs(k.sum() - 1.0) < 1e-6
+        # symmetric
+        np.testing.assert_allclose(k, k.T, atol=1e-7)
+        np.testing.assert_allclose(k, k[::-1, ::-1], atol=1e-7)
+
+
+def test_gaussian_blur_vs_torch(rng):
+    x = rng.normal(size=(1, 9, 11, 2)).astype(np.float32)
+    k = np.asarray(gaussian_kernel_2d_grid(5, 2.0), dtype=np.float32)
+    expect = _torch_depthwise(x, k, 2)
+    got = np.asarray(gaussian_blur(jnp.asarray(x), 5, 2.0))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_unsharp_pyramid_shapes(rng):
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 1)).astype(np.float32))
+    pyr = unsharp_pyramid(x)
+    assert len(pyr) == 3
+    for level in pyr:
+        assert level.shape == x.shape
+    # a constant image has zero band-pass response away from borders
+    const = jnp.ones((1, 16, 16, 1))
+    for level in unsharp_pyramid(const):
+        interior = np.asarray(level)[0, 4:-4, 4:-4, 0]
+        np.testing.assert_allclose(interior, 0.0, atol=1e-6)
+
+
+def _torch_ssim(img1_nhwc, img2_nhwc, window_size=11, sigma=1.5):
+    """Oracle implementing the classic windowed SSIM exactly as published
+    (Gaussian window, zero padding, biased variances)."""
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    w2d = np.outer(g, g)
+    img1 = torch.from_numpy(np.transpose(img1_nhwc, (0, 3, 1, 2)))
+    img2 = torch.from_numpy(np.transpose(img2_nhwc, (0, 3, 1, 2)))
+    c = img1.shape[1]
+    w = torch.from_numpy(w2d)[None, None].repeat(c, 1, 1, 1)
+    pad = window_size // 2
+
+    def blur(t):
+        return tF.conv2d(t, w, padding=pad, groups=c)
+
+    mu1, mu2 = blur(img1), blur(img2)
+    s1 = blur(img1 * img1) - mu1 * mu1
+    s2 = blur(img2 * img2) - mu2 * mu2
+    s12 = blur(img1 * img2) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1**2 + mu2**2 + c1) * (s1 + s2 + c2)
+    )
+    return smap.mean().item()
+
+
+def test_ssim_vs_oracle(rng):
+    a = rng.uniform(0, 1, size=(2, 32, 32, 1)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape).astype(np.float32), 0, 1)
+    expect = _torch_ssim(a, b)
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(got - expect) < 1e-4
+
+
+def test_ssim_identity(rng):
+    a = jnp.asarray(rng.uniform(0, 1, size=(1, 24, 24, 1)).astype(np.float32))
+    val = float(ssim(a, a))
+    assert val > 0.99
+
+
+def test_patch_entropy_behavior(rng):
+    # uniform-noise image must have higher entropy than a constant image
+    flat = jnp.full((1, 16, 16, 1), 0.5)
+    noisy = jnp.asarray(rng.uniform(0, 1, size=(1, 16, 16, 1)).astype(np.float32))
+    e_flat = float(patch_entropy(flat))
+    e_noisy = float(patch_entropy(noisy))
+    assert e_noisy > e_flat
