@@ -1,0 +1,57 @@
+"""Segmentation losses, pure jnp.
+
+ - cross_entropy: torch CrossEntropyLoss(ignore_index) equivalent
+   (/root/reference/train.py:156,203,334) — mean over non-ignored pixels.
+ - ohem_cross_entropy: online hard example mining CE
+   (/root/reference/core/loss.py:342-358).
+ - focal_loss: softmax focal loss (/root/reference/core/loss.py:361-374).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_index: int = 255) -> jnp.ndarray:
+    """logits: [B, H, W, C] (any leading dims); labels: [B, H, W] int.
+    Mean CE over pixels whose label != ignore_index."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / count
+
+
+def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                       ignore_index: int = 255, thresh: float = 0.7,
+                       min_kept_fraction: float = 1.0 / 16.0) -> jnp.ndarray:
+    """Keep pixels with loss above -log(thresh), but at least a fixed
+    fraction of all pixels (static top-k for TPU-friendly shapes)."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, -jnp.inf).reshape(-1)
+    n_min = max(int(nll.shape[0] * min_kept_fraction), 1)
+    loss_thresh = -jnp.log(jnp.asarray(thresh))
+    top = jax.lax.top_k(nll, n_min)[0]
+    cutoff = jnp.minimum(loss_thresh, top[-1])
+    keep = nll >= cutoff
+    kept = jnp.where(keep & jnp.isfinite(nll), nll, 0.0)
+    return jnp.sum(kept) / jnp.maximum(jnp.sum(keep & jnp.isfinite(nll)), 1)
+
+
+def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
+               alpha: float = 0.25, ignore_index: int = 255) -> jnp.ndarray:
+    """Softmax focal loss: alpha * (1-p)^gamma * CE, mean over valid pixels."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logpt = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(logpt)
+    loss = -alpha * (1.0 - pt) ** gamma * logpt
+    loss = jnp.where(valid, loss, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,277 @@
+"""Fusion network: dilated residual dense blocks + hierarchical interactive
+attention, in Flax (NHWC).
+
+Re-design of /root/reference/core/model_fusion.py:
+
+ - DRDB (dilated residual dense block), :117-157.
+ - Linear cross-attention pair CrossAttention (queries = fusion branches,
+   KV = seg feature — "MoAM") / CrossAttention2 (query = seg feature,
+   KV = fusion branches — "SoAM"), :250-328. Both use the O(N) "context
+   vector" form, implemented by kernels.attention.linear_cross_attention.
+ - CrossPath (:329-361) and FeatureFusionModule (:430-463): gated projections,
+   both attentions, concat, residual + LayerNorm. Ablation variants
+   (_SoAM :467-501 / _MoAM :503-536) are the `interaction` switch here rather
+   than copy-pasted classes.
+ - FusionNetwork: the deployed `Fusion_Network3_ac` (:1026-1067) — per-branch
+   conv->PReLU->DRDB, two interactive rounds against seg taps out1 (64ch,
+   proj conv3) and out2 (128ch, proj conv4), DRDB between rounds, concat +
+   3 convs down to the fused Y channel. The reference's quirks are preserved
+   where they affect behavior: the FFM is weight-SHARED across both rounds
+   (reference constructs ffm2 but never calls it, :1039-1040,1058,1061), and
+   a single scalar PReLU parameter is shared across every activation site
+   (reference reuses one nn.PReLU()). `interaction` also covers the concat /
+   add / none ablations (_Con :662-711, _Add :714-757, Fusion_Network_rmseg
+   :934-1025).
+ - SimpleFusionNetwork: the legacy 2-input Fusion_Network (:158-182).
+
+NHWC throughout; tokens are [B, N, C] where N = H*W in row-major order,
+matching the reference's flatten(2).transpose(1, 2).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..kernels.attention import linear_cross_attention
+from ..ops.color import minmax_stretch
+
+_DENSE_INIT = nn.initializers.truncated_normal(stddev=0.02)
+_CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class DRDB(nn.Module):
+    """Dilated residual dense block: 5 dilated(2) 3x3 convs with dense concat
+    growth, 1x1 bottleneck, residual add (model_fusion.py:117-157)."""
+    channels: int = 64
+    growth_rate: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat = x
+        for i in range(5):
+            y = nn.Conv(self.growth_rate, (3, 3), padding=[(2, 2), (2, 2)],
+                        kernel_dilation=(2, 2), kernel_init=_CONV_INIT,
+                        dtype=self.dtype, name=f"dconv{i + 1}")(feat)
+            feat = jnp.concatenate([feat, nn.relu(y)], axis=-1)
+        y = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
+                    dtype=self.dtype, name="bottleneck")(feat)
+        return x + nn.relu(y)
+
+
+class CrossAttentionSeg2Branches(nn.Module):
+    """KV from the seg feature, queries from both fusion branches
+    (reference CrossAttention, model_fusion.py:250-288)."""
+    dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, seg):
+        b, n, c = x1.shape
+        h = self.num_heads
+        d = c // h
+        scale = d**-0.5
+        kv = nn.Dense(2 * c, use_bias=False, kernel_init=_DENSE_INIT,
+                      dtype=self.dtype, name="kv_seg")(seg)
+        k = kv[..., :c].reshape(b, -1, h, d)
+        v = kv[..., c:].reshape(b, -1, h, d)
+        q1 = x1.reshape(b, n, h, d)
+        q2 = x2.reshape(b, n, h, d)
+        o1 = linear_cross_attention(q1, k, v, scale).reshape(b, n, c)
+        o2 = linear_cross_attention(q2, k, v, scale).reshape(b, n, c)
+        return o1, o2
+
+
+class CrossAttentionBranches2Seg(nn.Module):
+    """KV from each fusion branch, query from the seg feature
+    (reference CrossAttention2, model_fusion.py:290-328)."""
+    dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, seg):
+        b, n, c = x1.shape
+        h = self.num_heads
+        d = c // h
+        scale = d**-0.5
+        q = seg.reshape(b, -1, h, d)
+        outs = []
+        for name, x in (("kv1", x1), ("kv2", x2)):
+            kv = nn.Dense(2 * c, use_bias=False, kernel_init=_DENSE_INIT,
+                          dtype=self.dtype, name=name)(x)
+            k = kv[..., :c].reshape(b, n, h, d)
+            v = kv[..., c:].reshape(b, n, h, d)
+            outs.append(linear_cross_attention(q, k, v, scale).reshape(b, -1, c))
+        return outs[0], outs[1]
+
+
+class CrossPath(nn.Module):
+    """Gated dual cross-attention exchange (model_fusion.py:329-361).
+
+    interaction: 'both' (deployed), 'moam' (seg->branches only, CrossPath_M),
+    'soam' (branches->seg only, CrossPath_S).
+    """
+    dim: int
+    num_heads: int = 8
+    interaction: str = "both"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, seg):
+        dim = self.dim
+        y1, u1 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
+                                            dtype=self.dtype,
+                                            name="channel_proj1")(x1)), 2, -1)
+        y2, u2 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
+                                            dtype=self.dtype,
+                                            name="channel_proj2")(x2)), 2, -1)
+        y3, u3 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
+                                            dtype=self.dtype,
+                                            name="channel_proj3")(seg)), 2, -1)
+        if self.interaction == "both":
+            v1, v2 = CrossAttentionSeg2Branches(dim, self.num_heads, self.dtype,
+                                                name="cross_attn")(u1, u2, u3)
+            z1, z2 = CrossAttentionBranches2Seg(dim, self.num_heads, self.dtype,
+                                                name="cross_attn2")(y1, y2, y3)
+            m1 = jnp.concatenate([z1, v1], axis=-1)
+            m2 = jnp.concatenate([z2, v2], axis=-1)
+        elif self.interaction == "moam":
+            m1, m2 = CrossAttentionSeg2Branches(dim, self.num_heads, self.dtype,
+                                                name="cross_attn")(u1, u2, u3)
+        elif self.interaction == "soam":
+            m1, m2 = CrossAttentionBranches2Seg(dim, self.num_heads, self.dtype,
+                                                name="cross_attn2")(y1, y2, y3)
+        else:
+            raise ValueError(f"unknown interaction {self.interaction!r}")
+        o1 = nn.Dense(dim, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                      name="end_proj1")(m1)
+        o2 = nn.Dense(dim, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                      name="end_proj2")(m2)
+        o1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x1 + o1)
+        o2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x2 + o2)
+        return o1, o2
+
+
+class FeatureFusionModule(nn.Module):
+    """NCHW<->token plumbing around CrossPath in the reference
+    (model_fusion.py:430-463); here just reshape NHWC<->[B,N,C]."""
+    dim: int
+    num_heads: int = 8
+    interaction: str = "both"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, seg):
+        b, h, w, c = x1.shape
+        t1 = x1.reshape(b, h * w, c)
+        t2 = x2.reshape(b, h * w, c)
+        ts = seg.reshape(b, -1, seg.shape[-1])
+        t1, t2 = CrossPath(self.dim, self.num_heads, self.interaction,
+                           self.dtype, name="cross")(t1, t2, ts)
+        return t1.reshape(b, h, w, c), t2.reshape(b, h, w, c)
+
+
+class FusionNetwork(nn.Module):
+    """The deployed fusion net (`Fusion_Network3_ac`, model_fusion.py:1026-1067).
+
+    ir, vis_y: [B, H, W, >=1] (only channel 0 is used, as in the reference);
+    seg_tap1: [B, H, W, 64] (encoder stage-1 tap); seg_tap2: [B, H, W, 128]
+    (stage-2 tap). Returns fused Y [B, H, W, 1].
+
+    interaction: 'both' | 'moam' | 'soam' (FFM variants), 'concat'
+    (Fusion_Network3_Con), 'add' (Fusion_Network3_Add), 'none'
+    (Fusion_Network_rmseg — seg taps ignored).
+    """
+    channels: int = 64
+    num_heads: int = 8
+    interaction: str = "both"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ir, vis_y, seg_tap1: Optional[jnp.ndarray] = None,
+                 seg_tap2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ch = self.channels
+        alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,))
+        # one FFM instance called at both interaction rounds = weight sharing,
+        # the reference's (quirky but behavior-defining) layout
+        ffm = None
+        if self.interaction in ("both", "moam", "soam"):
+            ffm = FeatureFusionModule(ch, self.num_heads, self.interaction,
+                                      self.dtype, name="ffm")
+        x1 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
+                     dtype=self.dtype, name="conv1_ir")(ir[..., 0:1])
+        x1 = DRDB(ch, dtype=self.dtype, name="drdb1")(_prelu(x1, alpha))
+        x2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
+                     dtype=self.dtype, name="conv1_vis")(vis_y[..., 0:1])
+        x2 = DRDB(ch, dtype=self.dtype, name="drdb2")(_prelu(x2, alpha))
+
+        if self.interaction != "none":
+            s1 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
+                         name="seg_proj1")(seg_tap1)
+            x1, x2 = self._interact(x1, x2, s1, ffm, 1)
+        x1 = DRDB(ch, dtype=self.dtype, name="drdb3")(x1)
+        x2 = DRDB(ch, dtype=self.dtype, name="drdb4")(x2)
+        if self.interaction != "none":
+            s2 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
+                         name="seg_proj2")(seg_tap2)
+            x1, x2 = self._interact(x1, x2, s2, ffm, 2)
+
+        y = jnp.concatenate([x1, x2], axis=-1)
+        y = _prelu(nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+                           kernel_init=_CONV_INIT, dtype=self.dtype,
+                           name="conv2")(y), alpha)
+        y = _prelu(nn.Conv(ch // 2, (3, 3), padding=[(1, 1), (1, 1)],
+                           kernel_init=_CONV_INIT, dtype=self.dtype,
+                           name="conv21")(y), alpha)
+        y = _prelu(nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                           kernel_init=_CONV_INIT, dtype=self.dtype,
+                           name="conv22")(y), alpha)
+        return y
+
+    def _interact(self, x1, x2, s, ffm, round_idx):
+        if self.interaction in ("both", "moam", "soam"):
+            # weight-shared FFM across both rounds — the reference reuses
+            # self.ffm and never calls ffm2 (model_fusion.py:1058,1061)
+            return ffm(x1, x2, s)
+        if self.interaction == "concat":
+            f1 = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
+                         dtype=self.dtype, name=f"cat_proj1_r{round_idx}")(
+                jnp.concatenate([x1, s], axis=-1))
+            f2 = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
+                         dtype=self.dtype, name=f"cat_proj2_r{round_idx}")(
+                jnp.concatenate([x2, s], axis=-1))
+            return f1, f2
+        if self.interaction == "add":
+            return x1 + s, x2 + s
+        raise ValueError(f"unknown interaction {self.interaction!r}")
+
+
+class SimpleFusionNetwork(nn.Module):
+    """Legacy 2-input fusion net without seg interaction
+    (Fusion_Network, model_fusion.py:158-182): concat IR/VIS Y, conv,
+    2 DRDBs, conv to 1ch, clip + global min-max."""
+    channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ir, vis_y):
+        alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,))
+        x = jnp.concatenate([ir[..., 0:1], vis_y[..., 0:1]], axis=-1)
+        x = nn.Conv(self.channels * 2, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_CONV_INIT, dtype=self.dtype, name="conv1")(x)
+        x = _prelu(x, alpha)
+        x = DRDB(self.channels * 2, dtype=self.dtype, name="drdb1")(x)
+        x = DRDB(self.channels * 2, dtype=self.dtype, name="drdb2")(x)
+        x = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
+                    dtype=self.dtype, name="conv2")(x)
+        x = _prelu(x, alpha)
+        x = jnp.clip(x, 0.0, 1.0)
+        return minmax_stretch(x)

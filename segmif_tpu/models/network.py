@@ -1,0 +1,139 @@
+"""Model compositions: segmentation model, ImageNet-normalizing wrapper, and
+the single-graph joint fusion+segmentation pipeline.
+
+Re-designs of /root/reference/core/model_fusion.py compositions:
+ - SegModel  <- WeTr (:9-68): MiT encoder + SegFormer head + aux 1x1
+   classifier on stage-4 (computed then discarded in the reference's forward;
+   we keep the parameters and expose it via `return_cam` for parity).
+ - SegmentationNetwork <- Network3 (:1068-1104): takes [0,1] RGB, applies
+   ImageNet normalization (functionally, not in-place), returns 1/4-res
+   logits.
+ - JointPipeline: the whole SegMiF inference stack — seg-encoder feature taps
+   on the mask image, fusion net, YCrCb recombination — as ONE jittable
+   function (the reference splits this across test_fusion.py:100-111 with a
+   PNG round-trip; here it is a single XLA graph, the BASELINE.json
+   north-star requirement).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.color import recombine_fused, rgb_to_ycrcb
+from ..ops.image import normalize_imagenet, resize_bilinear
+from .fusion import FusionNetwork
+from .mit import MIT_VARIANTS, MixVisionTransformer, fusion_taps
+from .segformer_head import SegFormerHead
+
+_CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class SegModel(nn.Module):
+    """MiT encoder + SegFormer decode head (+ aux classifier params)."""
+    backbone: str = "mit_b3"
+    num_classes: int = 9
+    embedding_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = MixVisionTransformer(MIT_VARIANTS[self.backbone],
+                                            self.dtype)
+        self.decoder = SegFormerHead(self.num_classes, self.embedding_dim,
+                                     dtype=self.dtype)
+        self.classifier = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                                  kernel_init=_CONV_INIT, dtype=self.dtype)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 return_cam: bool = False):
+        feats = self.encoder(x, deterministic)
+        logits = self.decoder(feats, deterministic)
+        if return_cam:
+            return logits, self.classifier(feats[-1])
+        return logits
+
+    def encode(self, x: jnp.ndarray, deterministic: bool = True):
+        """The four encoder stage features (NHWC)."""
+        return self.encoder(x, deterministic)
+
+    def encode_fusion_taps(self, x: jnp.ndarray, deterministic: bool = True):
+        """Stage-1/2 features upsampled to input resolution — the bridge into
+        the fusion network (reference forward_fusion,
+        core/mix_transformer.py:358-375)."""
+        feats = self.encoder(x, deterministic)
+        return fusion_taps(feats, x.shape[1:3])
+
+
+class SegmentationNetwork(nn.Module):
+    """[0,1] RGB in, 1/4-res class logits out (Network3 equivalent).
+
+    The reference returns (input, input, logits); callers here just get
+    logits."""
+    backbone: str = "mit_b3"
+    num_classes: int = 9
+    embedding_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.seg = SegModel(self.backbone, self.num_classes,
+                            self.embedding_dim, self.dtype)
+
+    def __call__(self, rgb01: jnp.ndarray, deterministic: bool = True):
+        x = normalize_imagenet(rgb01).astype(self.dtype)
+        return self.seg(x, deterministic)
+
+    def logits_at(self, rgb01: jnp.ndarray, size, deterministic: bool = True):
+        """Logits bilinearly upsampled to `size` (label resolution), as in
+        Network3._loss (model_fusion.py:1090-1097)."""
+        logits = self(rgb01, deterministic)
+        return resize_bilinear(logits.astype(jnp.float32), size)
+
+    def encode_fusion_taps(self, rgb01: jnp.ndarray,
+                           deterministic: bool = True):
+        x = normalize_imagenet(rgb01).astype(self.dtype)
+        return self.seg.encode_fusion_taps(x, deterministic)
+
+
+class JointPipeline(nn.Module):
+    """Full fuse+segment model in one graph.
+
+    Parameters split into two logical roles matching the reference's two
+    checkpoints: 'seg' (Network3 / model-fusion_add_final2.pth) and 'fusion'
+    (Fusion_Network3_ac / modelfusion-final2.pth).
+    """
+    backbone: str = "mit_b3"
+    num_classes: int = 9
+    embedding_dim: int = 256
+    interaction: str = "both"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.seg = SegmentationNetwork(self.backbone, self.num_classes,
+                                       self.embedding_dim, self.dtype)
+        self.fusion = FusionNetwork(interaction=self.interaction,
+                                    dtype=self.dtype)
+
+    def fuse(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray,
+             guide_rgb: Optional[jnp.ndarray] = None,
+             deterministic: bool = True):
+        """ir: [B,H,W,1] in [0,1]; vis_rgb: [B,H,W,3] in [0,1];
+        guide_rgb: image whose seg-encoder features steer the fusion (the
+        reference feeds the previous round's fused image from Mask2/;
+        defaults to vis_rgb). Returns (fused_rgb [0,1], fused_y)."""
+        if guide_rgb is None:
+            guide_rgb = vis_rgb
+        tap1, tap2 = self.seg.encode_fusion_taps(guide_rgb, deterministic)
+        vis_ycrcb = rgb_to_ycrcb(vis_rgb)
+        fused_y = self.fusion(ir, vis_ycrcb[..., 0:1], tap1, tap2)
+        fused_rgb = recombine_fused(fused_y, vis_ycrcb)
+        return fused_rgb, fused_y
+
+    def __call__(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray,
+                 guide_rgb: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        """Fuse then segment the fused image. Returns (fused_rgb, fused_y,
+        seg_logits at 1/4 resolution)."""
+        fused_rgb, fused_y = self.fuse(ir, vis_rgb, guide_rgb, deterministic)
+        logits = self.seg(fused_rgb, deterministic)
+        return fused_rgb, fused_y, logits

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmif_tpu.models import (
+    DRDB,
+    FusionNetwork,
+    JointPipeline,
+    MIT_VARIANTS,
+    MixVisionTransformer,
+    SegFormerHead,
+    SegmentationNetwork,
+    SimpleFusionNetwork,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_mit_b0_stage_shapes():
+    model = MixVisionTransformer(MIT_VARIANTS["mit_b0"])
+    x = jnp.zeros((1, 64, 96, 3))
+    params = model.init(KEY, x)
+    feats = model.apply(params, x)
+    dims = MIT_VARIANTS["mit_b0"].embed_dims
+    assert [f.shape for f in feats] == [
+        (1, 16, 24, dims[0]),
+        (1, 8, 12, dims[1]),
+        (1, 4, 6, dims[2]),
+        (1, 2, 3, dims[3]),
+    ]
+
+
+@pytest.mark.parametrize("variant,depths", [("mit_b1", (2, 2, 2, 2)),
+                                            ("mit_b3", (3, 4, 18, 3)),
+                                            ("mit_b5", (3, 6, 40, 3))])
+def test_mit_variant_configs(variant, depths):
+    assert MIT_VARIANTS[variant].depths == depths
+    assert MIT_VARIANTS[variant].embed_dims == (64, 128, 320, 512)
+
+
+def test_mit_param_count_b0():
+    model = MixVisionTransformer(MIT_VARIANTS["mit_b0"])
+    params = model.init(KEY, jnp.zeros((1, 64, 64, 3)))
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    # published mit_b0 encoder is ~3.32M params
+    assert 3.0e6 < n < 3.7e6, n
+
+
+def test_segformer_head_shape():
+    feats = [
+        jnp.zeros((2, 16, 16, 32)),
+        jnp.zeros((2, 8, 8, 64)),
+        jnp.zeros((2, 4, 4, 160)),
+        jnp.zeros((2, 2, 2, 256)),
+    ]
+    head = SegFormerHead(num_classes=9)
+    variables = head.init(KEY, feats)
+    logits = head.apply(variables, feats)
+    assert logits.shape == (2, 16, 16, 9)
+    # train mode mutates batch stats
+    logits2, mutated = head.apply(variables, feats, deterministic=False,
+                                  mutable=["batch_stats"],
+                                  rngs={"dropout": KEY})
+    assert logits2.shape == (2, 16, 16, 9)
+    assert "batch_stats" in mutated
+
+
+def test_drdb_residual_shape():
+    m = DRDB(channels=16, growth_rate=8)
+    x = jnp.ones((1, 8, 8, 16))
+    params = m.init(KEY, x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+
+
+@pytest.mark.parametrize("interaction", ["both", "moam", "soam", "concat",
+                                         "add", "none"])
+def test_fusion_network_variants(interaction):
+    m = FusionNetwork(channels=16, num_heads=4, interaction=interaction)
+    ir = jnp.ones((1, 16, 16, 1)) * 0.5
+    vis = jnp.ones((1, 16, 16, 1)) * 0.3
+    tap1 = jnp.ones((1, 16, 16, 8))
+    tap2 = jnp.ones((1, 16, 16, 24))
+    params = m.init(KEY, ir, vis, tap1, tap2)
+    y = m.apply(params, ir, vis, tap1, tap2)
+    assert y.shape == (1, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_fusion_network_ffm_weight_shared():
+    """The FFM must be weight-shared across both interaction rounds
+    (reference quirk: ffm reused, ffm2 dead)."""
+    m = FusionNetwork(channels=16, num_heads=4)
+    ir = jnp.ones((1, 8, 8, 1))
+    params = m.init(KEY, ir, ir, jnp.ones((1, 8, 8, 4)), jnp.ones((1, 8, 8, 6)))
+    keys = list(params["params"].keys())
+    assert "ffm" in keys and "ffm2" not in keys
+
+
+def test_simple_fusion_network():
+    m = SimpleFusionNetwork(channels=8)
+    ir = jnp.ones((1, 8, 8, 1)) * 0.7
+    vis = jnp.ones((1, 8, 8, 1)) * 0.2
+    params = m.init(KEY, ir, vis)
+    y = m.apply(params, ir, vis)
+    assert y.shape == (1, 8, 8, 1)
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+
+
+def test_segmentation_network_logits():
+    m = SegmentationNetwork(backbone="mit_b0", num_classes=9)
+    x = jnp.full((1, 64, 64, 3), 0.5)
+    variables = m.init(KEY, x)
+    logits = m.apply(variables, x)
+    assert logits.shape == (1, 16, 16, 9)
+    up = m.apply(variables, x, (64, 64), method=m.logits_at)
+    assert up.shape == (1, 64, 64, 9)
+
+
+def test_joint_pipeline_single_graph():
+    m = JointPipeline(backbone="mit_b0", num_classes=9)
+    ir = jnp.full((1, 64, 64, 1), 0.6)
+    vis = jnp.full((1, 64, 64, 3), 0.4)
+    variables = m.init(KEY, ir, vis)
+
+    @jax.jit
+    def run(v, ir, vis):
+        return m.apply(v, ir, vis)
+
+    fused_rgb, fused_y, logits = run(variables, ir, vis)
+    assert fused_rgb.shape == (1, 64, 64, 3)
+    assert fused_y.shape == (1, 64, 64, 1)
+    assert logits.shape == (1, 16, 16, 9)
+    assert float(jnp.min(fused_rgb)) >= 0.0
+    assert float(jnp.max(fused_rgb)) <= 1.0
