@@ -1,0 +1,154 @@
+"""Structured configuration tree.
+
+Replaces the reference's OmegaConf YAML pair + scattered hardcoded
+hyperparameters (/root/reference/configs/voc.yaml, configs/voc_fusion.yaml,
+train.py:424,338-341,169-171,374,380) with one dataclass tree. Every
+hyperparameter the reference hardcodes — round count, per-round iteration
+budgets, DWA temperature and scales, checkpoint paths — is a field here.
+
+YAML files with the reference's section layout (exp/dataset/train/optimizer/
+scheduler) still load via `load_yaml`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class DataConfig:
+    root_dir: str = "./data/train_all"
+    val_root_dir: str = "./data/test_all"
+    name_list_dir: str = "./"
+    num_classes: int = 9
+    crop_size: int = 480
+    resize_range: Tuple[int, int] = (480, 640)
+    rescale_range: Tuple[float, float] = (0.5, 2.0)
+    ignore_index: int = 255
+    ir_dir: str = "Infrared"
+    vis_dir: str = "Visible"
+    mask_dir: str = "Mask"       # fused-image dir consumed by the seg phase
+    guide_dir: str = "Mask2"     # guide-image dir consumed by the fusion phase
+    label_dir: str = "Label"
+    eval_size: Tuple[int, int] = (480, 640)
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    learning_rate: float = 8e-5
+    betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.01
+    warmup_iter: int = 3000
+    warmup_ratio: float = 1e-6
+    power: float = 1.0
+    max_iters: int = 160000
+    decoder_lr_mult: float = 10.0
+
+
+@dataclasses.dataclass
+class FusionPhaseConfig:
+    """train_fusion hyperparameters (/root/reference/train.py:266-413)."""
+    learning_rate: float = 3e-4        # divided by round index per reference
+    iters_round1: int = 6000
+    iters_later: int = 4000
+    batch_size: int = 2
+    crop_size: int = 320
+    dwa_temperature: float = 1000.0
+    dwa_warmup_steps: int = 10
+    fusion_scale_base: float = 0.4     # scaled by 1/round
+    seg_scale: float = 0.8
+    ssim_weight: float = 1.1
+    checkpoint_every: int = 500
+    warmup_iter: int = 0               # reference's warmup is effectively off
+    warmup_ratio: float = 1e-4
+    max_iters: int = 20000
+
+
+@dataclasses.dataclass
+class SegPhaseConfig:
+    """train_seg hyperparameters (/root/reference/train.py:115-245)."""
+    iters: int = 10000
+    batch_size: int = 4
+    eval_every: int = 1000
+    resume_schedule: bool = True       # iter_curr = (round-1)*iters
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    backbone: str = "mit_b3"
+    embedding_dim: int = 256
+    rounds: int = 7
+    log_iters: int = 50
+    seed: int = 0
+    checkpoint_dir: str = "./checkpoint"
+    pretrained_dir: str = "./pretrained"
+    dump_fused_images: bool = False    # optional PNG dump for inspection
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    fusion: FusionPhaseConfig = dataclasses.field(default_factory=FusionPhaseConfig)
+    seg: SegPhaseConfig = dataclasses.field(default_factory=SegPhaseConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh_data: int = -1                # -1 = all devices
+    mesh_model: int = 1
+
+
+def _update(dc, d: dict):
+    for k, v in d.items():
+        if not hasattr(dc, k):
+            continue
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            setattr(dc, k, tuple(v))
+        else:
+            setattr(dc, k, v)
+
+
+def load_yaml(path: str | Path,
+              fusion_path: Optional[str | Path] = None) -> TrainConfig:
+    """Load a reference-layout YAML (and optionally the fusion-task YAML)
+    into a TrainConfig."""
+    import yaml
+
+    cfg = TrainConfig()
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    if "exp" in raw and "backbone" in raw["exp"]:
+        cfg.backbone = raw["exp"]["backbone"]
+    if "dataset" in raw:
+        _update(cfg.data, raw["dataset"])
+    if "optimizer" in raw:
+        o = raw["optimizer"]
+        if "learning_rate" in o:
+            cfg.optimizer.learning_rate = float(o["learning_rate"])
+        if "betas" in o:
+            cfg.optimizer.betas = tuple(o["betas"])
+        if "weight_decay" in o:
+            cfg.optimizer.weight_decay = float(o["weight_decay"])
+    if "scheduler" in raw:
+        s = raw["scheduler"]
+        cfg.optimizer.warmup_iter = int(s.get("warmup_iter", cfg.optimizer.warmup_iter))
+        cfg.optimizer.warmup_ratio = float(s.get("warmup_ratio", cfg.optimizer.warmup_ratio))
+        cfg.optimizer.power = float(s.get("power", cfg.optimizer.power))
+    if "train" in raw:
+        t = raw["train"]
+        cfg.optimizer.max_iters = int(t.get("max_iters", cfg.optimizer.max_iters))
+        cfg.seg.batch_size = int(t.get("samples_per_gpu", cfg.seg.batch_size))
+        cfg.log_iters = int(t.get("log_iters", cfg.log_iters))
+    if fusion_path is not None:
+        with open(fusion_path) as f:
+            fraw = yaml.safe_load(f) or {}
+        fo = fraw.get("optimizer", {})
+        cfg.fusion.learning_rate = 3e-4  # reference overrides to 3e-4/round
+        if "train" in fraw:
+            cfg.fusion.batch_size = int(fraw["train"].get("samples_per_gpu", 4)) // 2
+            cfg.fusion.max_iters = int(fraw["train"].get("max_iters", cfg.fusion.max_iters))
+        if "dataset" in fraw:
+            cfg.fusion.crop_size = int(fraw["dataset"].get("crop_size", cfg.fusion.crop_size))
+        sch = fraw.get("scheduler", {})
+        cfg.fusion.warmup_ratio = float(sch.get("warmup_ratio", cfg.fusion.warmup_ratio))
+        del fo
+    return cfg
