@@ -1,0 +1,97 @@
+"""CLI: fusion inference over a test directory, writing fused RGB images.
+
+Reference-compatible role (/root/reference/test_fusion.py): load the fusion
++ seg checkpoints, fuse every (IR, VIS) pair using seg-encoder features of
+the guide image, and write fused PNGs to --out_dir.
+
+    python -m segmif_tpu.cli.test_fusion --data_root ./test_all \
+        --checkpoint_dir ./checkpoint --out_dir ./Fused_images
+
+Accepts either Orbax checkpoints (fusion_params/, seg_params/) or reference
+torch checkpoints (--torch_fusion_ckpt / --torch_seg_ckpt .pth files).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_model_and_variables(backbone: str, num_classes: int,
+                              checkpoint_dir: str | None,
+                              torch_fusion_ckpt: str | None = None,
+                              torch_seg_ckpt: str | None = None,
+                              crop: int = 64):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.network import JointPipeline
+    from ..train import checkpoint as ckpt
+
+    model = JointPipeline(backbone, num_classes)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, crop, crop, 1)),
+                           jnp.zeros((1, crop, crop, 3)))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if torch_seg_ckpt:
+        seg_params, seg_stats = ckpt.load_torch_seg_network(torch_seg_ckpt)
+        params["seg"] = jax.tree.map(jnp.asarray, seg_params)
+        batch_stats = {"seg": jax.tree.map(jnp.asarray, seg_stats)}
+    if torch_fusion_ckpt:
+        params["fusion"] = jax.tree.map(
+            jnp.asarray, ckpt.load_torch_fusion_network(torch_fusion_ckpt))
+    if checkpoint_dir:
+        base = Path(checkpoint_dir)
+        if (base / "fusion_params").exists():
+            tree = ckpt.restore_checkpoint(base / "fusion_params",
+                                           {"fusion": params["fusion"]})
+            params["fusion"] = tree["fusion"]
+        if (base / "seg_params").exists():
+            tree = ckpt.restore_checkpoint(
+                base / "seg_params",
+                {"seg": params["seg"], "batch_stats": batch_stats})
+            params["seg"] = tree["seg"]
+            batch_stats = tree["batch_stats"]
+    return model, {"params": params, "batch_stats": batch_stats}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--ir_dir", default="Infrared")
+    p.add_argument("--vis_dir", default="Visible")
+    p.add_argument("--guide_dir", default="Mask2")
+    p.add_argument("--label_dir", default="Label")
+    p.add_argument("--out_dir", default="Fused_images")
+    p.add_argument("--checkpoint_dir", default="./checkpoint")
+    p.add_argument("--torch_fusion_ckpt", default=None)
+    p.add_argument("--torch_seg_ckpt", default=None)
+    p.add_argument("--backbone", default="mit_b3")
+    p.add_argument("--num_classes", type=int, default=9)
+    p.add_argument("-B", "--batch_size", type=int, default=4)
+    p.add_argument("--reference_quantization", action="store_true",
+                   help="reproduce the reference's double uint8 quantization")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ..data.datasets import FusionFolderDataset
+    from ..eval.evaluator import generate_fused
+    from ..train.steps import make_fuse_fn
+
+    model, variables = build_model_and_variables(
+        args.backbone, args.num_classes, args.checkpoint_dir,
+        args.torch_fusion_ckpt, args.torch_seg_ckpt)
+    ds = FusionFolderDataset(args.data_root, ir_dir=args.ir_dir,
+                             vis_dir=args.vis_dir, guide_dir=args.guide_dir,
+                             label_dir=args.label_dir)
+    fuse_fn = jax.jit(make_fuse_fn(model))
+    names, fused, _ = generate_fused(
+        fuse_fn, variables, ds, batch_size=args.batch_size,
+        out_dir=args.out_dir,
+        quantize_like_reference=args.reference_quantization)
+    print(f"fused {len(names)} images -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

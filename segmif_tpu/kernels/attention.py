@@ -57,11 +57,9 @@ def sr_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  scale: float) -> jnp.ndarray:
     """Dispatching sr-attention. See module docstring."""
     if _on_tpu():
-        try:
-            from .pallas_attention import sr_attention_pallas
+        from .pallas_attention import sr_attention_pallas, supports
+        if supports(q.shape, k.shape):
             return sr_attention_pallas(q, k, v, scale)
-        except Exception:
-            pass
     return sr_attention_xla(q, k, v, scale)
 
 

@@ -90,9 +90,17 @@ def param_shardings(mesh: Mesh, params: Any, tensor_parallel: bool = False):
 
 
 def put_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device_put a host batch with the batch axis sharded over 'data'."""
+    """Device_put a host batch with the batch axis sharded over 'data'
+    (replicated fallback when the batch doesn't divide the data axis)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    nd = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        ok = x.ndim >= 1 and x.shape[0] % nd == 0
+        return jax.device_put(x, sh if ok else rep)
+
+    return jax.tree.map(put, batch)
 
 
 def put_replicated(mesh: Mesh, tree: Any) -> Any:

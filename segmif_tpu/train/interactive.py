@@ -1,0 +1,333 @@
+"""The interactive fusion<->segmentation training driver.
+
+Re-design of the reference's 7-round alternating loop
+(/root/reference/train.py:416-435): each round runs a fusion phase
+(train_fusion, :266-413) then a segmentation phase (train_seg, :115-245).
+Key architectural differences, all deliberate:
+
+ - ONE JointPipeline param store on device; the fusion phase reads frozen seg
+   variables, the seg phase updates them. No model reloads between phases.
+ - The PNG round-trip between phases (fused images written to Mask/ and
+   re-read by the seg dataloader, val_performance.py:461-466 ->
+   train.py:123-135) becomes an IN-MEMORY uint8 array handoff;
+   `dump_fused_images` still writes PNGs for inspection.
+ - The DWA loss buffer lives on device (losses/dwa.py) — no per-step
+   loss.item() syncs.
+ - Per-phase steps are jitted once per round; batches stream through the
+   device-side augmentation (data/augment.py).
+ - Checkpoints are Orbax trees of the full state; the seg checkpoint is
+   gated on best mIoU like the reference (train.py:236-239).
+
+The fusion phase's guide/target images ("Mask2") are the dataset's static
+guide channel, exactly as in the reference (train.py:346,358-359 reads
+voc_fusion3's Mask2; val_fusion reads Mask2 too, val_performance.py:409).
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.augment import AugConfig, augment_batch
+from ..data.pipeline import Prefetcher
+from ..eval.evaluator import generate_fused, segmentation_eval
+from ..models.network import JointPipeline
+from ..parallel.mesh import make_mesh, put_batch, put_replicated
+from ..utils.logging import eta, setup_logger
+from . import checkpoint as ckpt
+from .optimizer import adamw_poly, adamw_poly_grouped
+from .state import FusionTrainState, SegTrainState
+from .steps import (
+    make_fuse_fn,
+    make_fusion_train_step,
+    make_seg_train_step,
+    make_segment_fn,
+)
+
+
+class InMemoryFusionDataset:
+    """5-tuple dataset over in-memory uint8 arrays — the fused-image handoff
+    between phases."""
+
+    def __init__(self, names, ir, vis, guide, label):
+        self.names = names
+        self.ir = ir          # [N, H, W, 3] uint8
+        self.vis = vis
+        self.guide = guide    # fused images from the fusion phase
+        self.label = label    # [N, H, W] int32
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i):
+        return (self.names[i], self.ir[i].astype(np.float32),
+                self.vis[i].astype(np.float32),
+                self.guide[i].astype(np.float32), self.label[i])
+
+
+def _to_uint8(x: np.ndarray) -> np.ndarray:
+    return np.uint8(np.clip(x * 255.0, 0, 255))
+
+
+def _stack_dataset(dataset) -> InMemoryFusionDataset:
+    names, irs, viss, guides, labels = [], [], [], [], []
+    for i in range(len(dataset)):
+        n, ir, vis, guide, label = dataset[i]
+        names.append(n)
+        irs.append(np.uint8(np.clip(ir, 0, 255)))
+        viss.append(np.uint8(np.clip(vis, 0, 255)))
+        guides.append(np.uint8(np.clip(guide, 0, 255)))
+        labels.append(label.astype(np.int32))
+    return InMemoryFusionDataset(names, np.stack(irs), np.stack(viss),
+                                 np.stack(guides), np.stack(labels))
+
+
+class InteractiveTrainer:
+    """Drives `cfg.rounds` rounds of fusion-phase + seg-phase training."""
+
+    def __init__(self, cfg: TrainConfig, train_dataset, val_dataset,
+                 mesh=None, logger=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_data, cfg.mesh_model)
+        self.log = logger or setup_logger()
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = JointPipeline(cfg.backbone, cfg.data.num_classes,
+                                   cfg.embedding_dim, dtype=dtype)
+        self.train_data = _stack_dataset(train_dataset)
+        self.val_data = _stack_dataset(val_dataset)
+        self.fuse_fn = jax.jit(make_fuse_fn(self.model))
+        self.segment_fn = jax.jit(make_segment_fn(self.model))
+        self.best_miou = -1.0
+        self.history = []
+        self._init_params()
+
+    # ------------------------------------------------------------- setup ----
+
+    def _init_params(self):
+        cfg = self.cfg
+        h = w = cfg.fusion.crop_size
+        rng = jax.random.PRNGKey(cfg.seed)
+        variables = self.model.init(
+            rng, jnp.zeros((1, h, w, 1)), jnp.zeros((1, h, w, 3)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        pretrained = Path(cfg.pretrained_dir) / f"{cfg.backbone}.pth"
+        if pretrained.exists():
+            self.log.info("loading pretrained encoder %s", pretrained)
+            enc = ckpt.load_torch_mit_pretrained(pretrained)
+            params["seg"]["seg"]["encoder"] = jax.tree.map(jnp.asarray, enc)
+        self.params = put_replicated(self.mesh, params)
+        self.batch_stats = put_replicated(self.mesh, batch_stats)
+
+    def _seg_variables(self):
+        return {"params": {"seg": self.params["seg"]},
+                "batch_stats": self.batch_stats}
+
+    def _full_variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    # ------------------------------------------------------------ phases ----
+
+    def train_fusion_phase(self, round_idx: int):
+        cfg = self.cfg
+        fp = cfg.fusion
+        iters = fp.iters_round1 if round_idx == 1 else fp.iters_later
+        tx = adamw_poly(fp.learning_rate / round_idx, fp.warmup_iter,
+                        fp.max_iters, cfg.optimizer.weight_decay,
+                        cfg.optimizer.betas, fp.warmup_ratio,
+                        cfg.optimizer.power)
+        state = FusionTrainState.create(self.params["fusion"], tx)
+        step_fn = jax.jit(make_fusion_train_step(
+            self.model, tx, round1=(round_idx == 1),
+            ignore_index=cfg.data.ignore_index, seg_scale=fp.seg_scale,
+            dwa_temperature=fp.dwa_temperature,
+            dwa_warmup_steps=fp.dwa_warmup_steps),
+            donate_argnums=(0,))
+        fusion_scale = jnp.asarray(fp.fusion_scale_base / round_idx,
+                                   jnp.float32)
+        aug = AugConfig(crop_size=fp.crop_size,
+                        scale_min=cfg.data.rescale_range[0],
+                        scale_max=cfg.data.rescale_range[1],
+                        ignore_index=cfg.data.ignore_index)
+        pf = Prefetcher(self.train_data, fp.batch_size,
+                        seed=cfg.seed + round_idx)
+        it = iter(pf)
+        seg_vars = self._seg_variables()
+        rng = jax.random.PRNGKey(cfg.seed * 7 + round_idx)
+        t0 = datetime.datetime.now()
+        metrics = {}
+        for n_iter in range(iters):
+            rng, k = jax.random.split(rng)
+            raw = next(it)
+            batch = augment_batch(k, jnp.asarray(raw["ir"]),
+                                  jnp.asarray(raw["vis"]),
+                                  jnp.asarray(raw["guide"]),
+                                  jnp.asarray(raw["label"]), aug,
+                                  cfg.data.num_classes)
+            batch = put_batch(self.mesh, batch)
+            state, metrics = step_fn(state, seg_vars, batch, fusion_scale)
+            if (n_iter + 1) % cfg.log_iters == 0:
+                el, rem = eta(t0, n_iter + 1, iters)
+                self.log.info(
+                    "[round %d fusion] iter %d/%d loss %.4f elapsed %s eta %s",
+                    round_idx, n_iter + 1, iters,
+                    float(metrics["loss"]), el, rem)
+            if (n_iter + 1) % fp.checkpoint_every == 0:
+                self.params = dict(self.params, fusion=state.params)
+                self.save_checkpoint("fusion")
+        pf.close()
+        self.params = dict(self.params, fusion=state.params)
+        self.save_checkpoint("fusion")
+        return {k: float(v) for k, v in metrics.items()
+                if jnp.ndim(v) == 0}
+
+    def regenerate_fused(self, round_idx: int):
+        """Fuse the train and val sets with the current fusion params — the
+        in-memory replacement for val_fusion/val_fusion_train's PNG dumps."""
+        cfg = self.cfg
+        out_train = out_val = None
+        if cfg.dump_fused_images:
+            out_train = Path(cfg.checkpoint_dir) / f"fused_train_r{round_idx}"
+            out_val = Path(cfg.checkpoint_dir) / f"fused_val_r{round_idx}"
+        variables = self._full_variables()
+        for data, out in ((self.train_data, out_train),
+                          (self.val_data, out_val)):
+            names, fused, _ = generate_fused(
+                self.fuse_fn, variables, data, batch_size=4, out_dir=out)
+            fused8 = _to_uint8(fused)
+            data.guide = fused8  # seg phase segments these
+        self.log.info("[round %d] regenerated %d train + %d val fused images",
+                      round_idx, len(self.train_data), len(self.val_data))
+
+    def train_seg_phase(self, round_idx: int):
+        cfg = self.cfg
+        sp = cfg.seg
+        opt = cfg.optimizer
+        start_step = (round_idx - 1) * sp.iters if sp.resume_schedule else 0
+        tx = adamw_poly_grouped(
+            {"seg": self.params["seg"]}, opt.learning_rate, opt.warmup_iter,
+            opt.max_iters, opt.weight_decay, opt.betas, opt.warmup_ratio,
+            opt.power, start_step, opt.decoder_lr_mult)
+
+        seg_model = _SegApplyAdapter(self.model)
+        step_fn = jax.jit(make_seg_train_step(
+            seg_model, tx, cfg.data.ignore_index), donate_argnums=(0,))
+        state = SegTrainState.create({"seg": self.params["seg"]},
+                                     self.batch_stats, tx)
+        aug = AugConfig(crop_size=cfg.data.crop_size,
+                        scale_min=cfg.data.rescale_range[0],
+                        scale_max=cfg.data.rescale_range[1],
+                        ignore_index=cfg.data.ignore_index)
+        pf = Prefetcher(self.train_data, sp.batch_size,
+                        seed=cfg.seed + 100 + round_idx)
+        it = iter(pf)
+        rng = jax.random.PRNGKey(cfg.seed * 13 + round_idx)
+        t0 = datetime.datetime.now()
+        for n_iter in range(sp.iters):
+            rng, k = jax.random.split(rng)
+            raw = next(it)
+            batch = augment_batch(k, jnp.asarray(raw["ir"]),
+                                  jnp.asarray(raw["vis"]),
+                                  jnp.asarray(raw["guide"]),
+                                  jnp.asarray(raw["label"]), aug,
+                                  cfg.data.num_classes)
+            # the seg phase trains on the fused image (the regenerated guide)
+            seg_batch = put_batch(self.mesh,
+                                  {"image": batch["guide"],
+                                   "label": batch["label"]})
+            state, metrics = step_fn(state, seg_batch, rng)
+            if (n_iter + 1) % cfg.log_iters == 0:
+                el, rem = eta(t0, n_iter + 1, sp.iters)
+                self.log.info(
+                    "[round %d seg] iter %d/%d loss %.4f elapsed %s eta %s",
+                    round_idx, n_iter + 1, sp.iters, float(metrics["loss"]),
+                    el, rem)
+            if (n_iter + 1) % sp.eval_every == 0 or n_iter + 1 == sp.iters:
+                self.params = dict(self.params, seg=state.params["seg"])
+                self.batch_stats = state.batch_stats
+                miou = self.evaluate(round_idx)["mIoU"]
+                if miou > self.best_miou:
+                    self.best_miou = miou
+                    self.save_checkpoint("seg")
+                    self.log.info("[round %d seg] new best mIoU %.4f",
+                                  round_idx, miou)
+        pf.close()
+        self.params = dict(self.params, seg=state.params["seg"])
+        self.batch_stats = state.batch_stats
+
+    # -------------------------------------------------------------- eval ----
+
+    def evaluate(self, round_idx: int = 0):
+        res = segmentation_eval(
+            self.segment_fn, self._full_variables(), self.val_data,
+            self.cfg.data.num_classes, batch_size=4,
+            log_file=str(Path(self.cfg.checkpoint_dir) / "val_seg.txt"),
+            tag=f"round{round_idx}")
+        self.history.append({"round": round_idx, "mIoU": res["mIoU"]})
+        self.log.info("[round %d] mIoU %.4f pixel_acc %.4f", round_idx,
+                      res["mIoU"], res["pixel_acc"])
+        return res
+
+    # -------------------------------------------------------- checkpoints ----
+
+    def save_checkpoint(self, role: str):
+        base = Path(self.cfg.checkpoint_dir)
+        base.mkdir(parents=True, exist_ok=True)
+        if role == "fusion":
+            ckpt.save_checkpoint(base / "fusion_params",
+                                 {"fusion": self.params["fusion"]})
+        else:
+            ckpt.save_checkpoint(base / "seg_params",
+                                 {"seg": self.params["seg"],
+                                  "batch_stats": self.batch_stats})
+
+    def load_checkpoints(self):
+        base = Path(self.cfg.checkpoint_dir)
+        fpath = base / "fusion_params"
+        spath = base / "seg_params"
+        if fpath.exists():
+            tree = ckpt.restore_checkpoint(
+                fpath, {"fusion": self.params["fusion"]})
+            self.params = dict(self.params, fusion=tree["fusion"])
+        if spath.exists():
+            tree = ckpt.restore_checkpoint(
+                spath, {"seg": self.params["seg"],
+                        "batch_stats": self.batch_stats})
+            self.params = dict(self.params, seg=tree["seg"])
+            self.batch_stats = tree["batch_stats"]
+
+    # --------------------------------------------------------------- run ----
+
+    def run(self):
+        """The full interactive schedule (reference __main__,
+        train.py:416-435)."""
+        for round_idx in range(1, self.cfg.rounds + 1):
+            self.log.info("==== round %d/%d: fusion phase ====",
+                          round_idx, self.cfg.rounds)
+            self.train_fusion_phase(round_idx)
+            self.regenerate_fused(round_idx)
+            self.log.info("==== round %d/%d: segmentation phase ====",
+                          round_idx, self.cfg.rounds)
+            self.train_seg_phase(round_idx)
+        return {"best_mIoU": self.best_miou, "history": self.history}
+
+
+class _SegApplyAdapter:
+    """Adapts JointPipeline so make_seg_train_step sees a model whose
+    params tree is {'seg': ...} and whose __call__ segments an RGB image."""
+
+    def __init__(self, joint: JointPipeline):
+        self.joint = joint
+
+    def apply(self, variables, image, deterministic, rngs=None, mutable=None):
+        return self.joint.apply(
+            variables, image, deterministic,
+            rngs=rngs, mutable=mutable,
+            method=lambda m, x, det: m.seg(x, det))
