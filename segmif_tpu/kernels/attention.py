@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("SEGMIF_DISABLE_PALLAS"):
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:  # no backend initialized

@@ -38,9 +38,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sr_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_true: int):
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -53,7 +53,7 @@ def _sr_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_true: int):
     out = jax.lax.dot_general(
         p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) / s
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _sr_attention_fwd_impl(q, k, v, scale: float):
@@ -61,35 +61,41 @@ def _sr_attention_fwd_impl(q, k, v, scale: float):
     m = k.shape[1]
     n_pad = _round_up(n, BLOCK_N)
     m_pad = _round_up(m, _LANE)
+    # [B, N, H, D] -> [B*H, N, D]: Mosaic wants a plain squeezable leading
+    # dim, and the transpose is one cheap relayout vs. the N x M logits
+    # HBM traffic this kernel removes
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
     if n_pad != n:
-        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+        qt = jnp.pad(qt, ((0, 0), (0, n_pad - n), (0, 0)))
     if m_pad != m:
-        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, m_pad - m), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, m_pad - m), (0, 0)))
 
-    grid = (b, h, n_pad // BLOCK_N)
+    grid = (b * h, n_pad // BLOCK_N)
     out = pl.pallas_call(
         functools.partial(_sr_attn_kernel, scale=scale, m_true=m),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_N, 1, d), lambda bi, hi, ni: (bi, ni, hi, 0),
+            pl.BlockSpec((1, BLOCK_N, d), lambda gi, ni: (gi, ni, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, 1, d), lambda bi, hi, ni: (bi, 0, hi, 0),
+            pl.BlockSpec((1, m_pad, d), lambda gi, ni: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, 1, d), lambda bi, hi, ni: (bi, 0, hi, 0),
+            pl.BlockSpec((1, m_pad, d), lambda gi, ni: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_N, 1, d),
-                               lambda bi, hi, ni: (bi, ni, hi, 0),
+        out_specs=pl.BlockSpec((1, BLOCK_N, d), lambda gi, ni: (gi, ni, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n_pad * m_pad * d,
-            bytes_accessed=(q.size + 2 * k.size + q.size) * q.dtype.itemsize,
+            bytes_accessed=(2 * qt.size + 2 * kt.size) * q.dtype.itemsize,
             transcendentals=b * h * n_pad * m_pad,
         ),
-    )(q, k, v)
-    return out[:, :n] if n_pad != n else out
+    )(qt, kt, vt)
+    out = out[:, :n] if n_pad != n else out
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
