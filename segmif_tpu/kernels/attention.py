@@ -45,8 +45,10 @@ def sr_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def linear_cross_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                               scale: float) -> jnp.ndarray:
-    """q, k, v: [B, N, H, D]. Returns [B, N, H, D].
+                               scale: float, return_ctx: bool = False):
+    """q, k, v: [B, N, H, D]. Returns [B, N, H, D] (and the [B, H, D, D]
+    context matrix when return_ctx — the "attention map" the reference's
+    visualization variants expose, model_fusion.py:538-624).
 
     ctx = softmax((k^T v) * scale, axis=feature-of-k); out = q @ ctx.
     The context matrix is [B, H, D, D] — tiny — so this is O(N*D^2) and
@@ -54,7 +56,10 @@ def linear_cross_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     ctx = jnp.einsum("bmhd,bmhe->bhde", k, v) * scale
     ctx = jax.nn.softmax(ctx.astype(jnp.float32), axis=-2).astype(q.dtype)
-    return jnp.einsum("bnhd,bhde->bnhe", q, ctx)
+    out = jnp.einsum("bnhd,bhde->bnhe", q, ctx)
+    if return_ctx:
+        return out, ctx
+    return out
 
 
 def sr_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -34,7 +34,10 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..kernels.attention import linear_cross_attention
+from ..kernels.attention import (
+    linear_cross_attention,
+    linear_cross_attention_xla,
+)
 from ..ops.color import minmax_stretch
 
 _DENSE_INIT = nn.initializers.truncated_normal(stddev=0.02)
@@ -71,6 +74,8 @@ class CrossAttentionSeg2Branches(nn.Module):
     dim: int
     num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    return_context: bool = False  # expose the [B,H,D,D] attention context
+                                  # (reference *_showAttention variants)
 
     @nn.compact
     def __call__(self, x1, x2, seg):
@@ -84,6 +89,11 @@ class CrossAttentionSeg2Branches(nn.Module):
         v = kv[..., c:].reshape(b, -1, h, d)
         q1 = x1.reshape(b, n, h, d)
         q2 = x2.reshape(b, n, h, d)
+        if self.return_context:
+            o1, ctx = linear_cross_attention_xla(q1, k, v, scale,
+                                                 return_ctx=True)
+            o2 = linear_cross_attention_xla(q2, k, v, scale)
+            return o1.reshape(b, n, c), o2.reshape(b, n, c), ctx
         o1 = linear_cross_attention(q1, k, v, scale).reshape(b, n, c)
         o2 = linear_cross_attention(q2, k, v, scale).reshape(b, n, c)
         return o1, o2
@@ -123,6 +133,7 @@ class CrossPath(nn.Module):
     num_heads: int = 8
     interaction: str = "both"
     dtype: jnp.dtype = jnp.float32
+    return_context: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, seg):
@@ -136,9 +147,16 @@ class CrossPath(nn.Module):
         y3, u3 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
                                             dtype=self.dtype,
                                             name="channel_proj3")(seg)), 2, -1)
+        ctx = None
         if self.interaction == "both":
-            v1, v2 = CrossAttentionSeg2Branches(dim, self.num_heads, self.dtype,
-                                                name="cross_attn")(u1, u2, u3)
+            if self.return_context:
+                v1, v2, ctx = CrossAttentionSeg2Branches(
+                    dim, self.num_heads, self.dtype, return_context=True,
+                    name="cross_attn")(u1, u2, u3)
+            else:
+                v1, v2 = CrossAttentionSeg2Branches(
+                    dim, self.num_heads, self.dtype,
+                    name="cross_attn")(u1, u2, u3)
             z1, z2 = CrossAttentionBranches2Seg(dim, self.num_heads, self.dtype,
                                                 name="cross_attn2")(y1, y2, y3)
             m1 = jnp.concatenate([z1, v1], axis=-1)
@@ -157,6 +175,8 @@ class CrossPath(nn.Module):
                       name="end_proj2")(m2)
         o1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x1 + o1)
         o2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x2 + o2)
+        if self.return_context:
+            return o1, o2, ctx
         return o1, o2
 
 
@@ -167,6 +187,7 @@ class FeatureFusionModule(nn.Module):
     num_heads: int = 8
     interaction: str = "both"
     dtype: jnp.dtype = jnp.float32
+    return_context: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, seg):
@@ -174,9 +195,15 @@ class FeatureFusionModule(nn.Module):
         t1 = x1.reshape(b, h * w, c)
         t2 = x2.reshape(b, h * w, c)
         ts = seg.reshape(b, -1, seg.shape[-1])
-        t1, t2 = CrossPath(self.dim, self.num_heads, self.interaction,
-                           self.dtype, name="cross")(t1, t2, ts)
-        return t1.reshape(b, h, w, c), t2.reshape(b, h, w, c)
+        out = CrossPath(self.dim, self.num_heads, self.interaction,
+                        self.dtype, self.return_context,
+                        name="cross")(t1, t2, ts)
+        t1, t2 = out[0], out[1]
+        t1 = t1.reshape(b, h, w, c)
+        t2 = t2.reshape(b, h, w, c)
+        if self.return_context:
+            return t1, t2, out[2]
+        return t1, t2
 
 
 class FusionNetwork(nn.Module):
@@ -194,10 +221,11 @@ class FusionNetwork(nn.Module):
     num_heads: int = 8
     interaction: str = "both"
     dtype: jnp.dtype = jnp.float32
+    return_attention: bool = False  # Fusion_Network3_obtainattention parity
 
     @nn.compact
     def __call__(self, ir, vis_y, seg_tap1: Optional[jnp.ndarray] = None,
-                 seg_tap2: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 seg_tap2: Optional[jnp.ndarray] = None):
         ch = self.channels
         alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,))
         # one FFM instance called at both interaction rounds = weight sharing,
@@ -205,7 +233,9 @@ class FusionNetwork(nn.Module):
         ffm = None
         if self.interaction in ("both", "moam", "soam"):
             ffm = FeatureFusionModule(ch, self.num_heads, self.interaction,
-                                      self.dtype, name="ffm")
+                                      self.dtype, self.return_attention,
+                                      name="ffm")
+        attn_maps = []
         x1 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
                      dtype=self.dtype, name="conv1_ir")(ir[..., 0:1])
         x1 = DRDB(ch, dtype=self.dtype, name="drdb1")(_prelu(x1, alpha))
@@ -216,13 +246,13 @@ class FusionNetwork(nn.Module):
         if self.interaction != "none":
             s1 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="seg_proj1")(seg_tap1)
-            x1, x2 = self._interact(x1, x2, s1, ffm, 1)
+            x1, x2 = self._interact(x1, x2, s1, ffm, 1, attn_maps)
         x1 = DRDB(ch, dtype=self.dtype, name="drdb3")(x1)
         x2 = DRDB(ch, dtype=self.dtype, name="drdb4")(x2)
         if self.interaction != "none":
             s2 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="seg_proj2")(seg_tap2)
-            x1, x2 = self._interact(x1, x2, s2, ffm, 2)
+            x1, x2 = self._interact(x1, x2, s2, ffm, 2, attn_maps)
 
         y = jnp.concatenate([x1, x2], axis=-1)
         y = _prelu(nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
@@ -234,13 +264,19 @@ class FusionNetwork(nn.Module):
         y = _prelu(nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
                            kernel_init=_CONV_INIT, dtype=self.dtype,
                            name="conv22")(y), alpha)
+        if self.return_attention:
+            return y, attn_maps
         return y
 
-    def _interact(self, x1, x2, s, ffm, round_idx):
+    def _interact(self, x1, x2, s, ffm, round_idx, attn_maps):
         if self.interaction in ("both", "moam", "soam"):
             # weight-shared FFM across both rounds — the reference reuses
             # self.ffm and never calls ffm2 (model_fusion.py:1058,1061)
-            return ffm(x1, x2, s)
+            out = ffm(x1, x2, s)
+            if self.return_attention:
+                attn_maps.append(out[2])
+                return out[0], out[1]
+            return out
         if self.interaction == "concat":
             f1 = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
                          dtype=self.dtype, name=f"cat_proj1_r{round_idx}")(

@@ -53,3 +53,12 @@ def minmax_stretch(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     lo = jnp.min(x)
     hi = jnp.max(x)
     return (x - lo) / (hi - lo + eps)
+
+
+def mean_recombine(mask_y: jnp.ndarray, vis_rgb: jnp.ndarray) -> jnp.ndarray:
+    """The reference's `Mean` module (model_fusion.py:184-214): replace the Y
+    of the visible image with a fused-Y mask, back to RGB, clip, then global
+    min-max renormalize. mask_y: [..., H, W, 1]; vis_rgb: [..., H, W, 3]."""
+    vis_ycrcb = rgb_to_ycrcb(vis_rgb)
+    rgb = ycrcb_to_rgb(jnp.concatenate([mask_y, vis_ycrcb[..., 1:]], axis=-1))
+    return minmax_stretch(jnp.clip(rgb, 0.0, 1.0))

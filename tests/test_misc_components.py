@@ -1,0 +1,135 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segmif_tpu.config import TrainConfig, load_yaml
+from segmif_tpu.data.legacy_augment import (
+    random_brightness,
+    random_crop,
+    random_crop_out,
+    random_flip,
+    random_noise,
+)
+from segmif_tpu.losses.detection import (
+    box_iou,
+    centerness_bce_loss,
+    giou_loss,
+    iou_loss,
+    sigmoid_focal_loss,
+)
+from segmif_tpu.ops.color import mean_recombine
+from segmif_tpu.utils.logging import eta, setup_logger
+from segmif_tpu.utils.profiler import StepTimer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_box_iou_known():
+    a = jnp.array([[0.0, 0.0, 2.0, 2.0]])
+    b = jnp.array([[1.0, 1.0, 3.0, 3.0]])
+    np.testing.assert_allclose(np.asarray(box_iou(a, b)), [1.0 / 7.0],
+                               atol=1e-6)
+    assert float(iou_loss(a, a)) < 1e-5
+    assert float(giou_loss(a, a)) < 1e-5
+    # disjoint boxes: giou < iou penalty
+    c = jnp.array([[5.0, 5.0, 6.0, 6.0]])
+    assert float(giou_loss(a, c)) > 1.0
+
+
+def test_sigmoid_focal_loss_behavior():
+    logits = jnp.array([10.0, -10.0])
+    targets = jnp.array([1.0, 0.0])
+    good = float(sigmoid_focal_loss(logits, targets))
+    bad = float(sigmoid_focal_loss(-logits, targets))
+    assert good < 1e-3 < bad
+
+
+def test_centerness_bce_mask():
+    logits = jnp.zeros((4,))
+    targets = jnp.array([1.0, 0.0, 0.5, 0.5])
+    mask = jnp.array([True, True, False, False])
+    val = float(centerness_bce_loss(logits, targets, mask))
+    assert abs(val - np.log(2.0)) < 1e-5  # BCE(0 logits) = log 2
+
+
+def test_mean_recombine_range(rng):
+    vis = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 1)).astype(np.float32))
+    out = mean_recombine(mask, vis)
+    assert out.shape == (1, 8, 8, 3)
+    assert abs(float(jnp.min(out))) < 1e-5
+    assert abs(float(jnp.max(out)) - 1.0) < 1e-5
+
+
+def test_legacy_augs_shapes(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (16, 20, 3)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 9, (16, 20)).astype(np.int32))
+    for fn in (random_flip, random_crop, random_crop_out, random_brightness,
+               random_noise):
+        i2, l2 = fn(KEY, img, lab)
+        assert i2.shape == img.shape
+        assert l2.shape == lab.shape
+    i2, _ = random_brightness(KEY, img, lab)
+    assert float(jnp.max(i2)) <= 255.0
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    seg = tmp_path / "seg.yaml"
+    fus = tmp_path / "fus.yaml"
+    seg.write_text("""
+exp: {backbone: mit_b2}
+dataset: {num_classes: 15, crop_size: 480}
+optimizer: {learning_rate: 8e-5, weight_decay: 0.01}
+scheduler: {warmup_iter: 3000, warmup_ratio: 1e-6, power: 1.0}
+train: {samples_per_gpu: 4, max_iters: 160000, log_iters: 50}
+""")
+    fus.write_text("""
+dataset: {crop_size: 320}
+train: {samples_per_gpu: 4, max_iters: 20000}
+scheduler: {warmup_ratio: 1e-4}
+""")
+    cfg = load_yaml(seg, fus)
+    assert cfg.backbone == "mit_b2"
+    assert cfg.data.num_classes == 15
+    assert cfg.optimizer.warmup_iter == 3000
+    assert cfg.optimizer.max_iters == 160000
+    assert cfg.fusion.crop_size == 320
+    assert cfg.fusion.batch_size == 2  # samples_per_gpu // 2
+    assert cfg.seg.batch_size == 4
+
+
+def test_repo_configs_load():
+    cfg = load_yaml("configs/fmb.yaml", "configs/fmb_fusion.yaml")
+    assert cfg.backbone == "mit_b3"
+    assert cfg.data.num_classes == 15
+
+
+def test_step_timer():
+    t = StepTimer()
+    assert t.tick() is None
+    assert t.tick() is not None
+    assert t.mean > 0
+
+
+def test_eta_no_crash_at_zero():
+    import datetime
+
+    el, rem = eta(datetime.datetime.now(), 0, 100)
+    assert isinstance(el, str) and isinstance(rem, str)
+
+
+def test_fusion_attention_maps():
+    from segmif_tpu.models.fusion import FusionNetwork
+
+    m = FusionNetwork(channels=16, num_heads=4, return_attention=True)
+    ir = jnp.ones((1, 8, 8, 1))
+    t1 = jnp.ones((1, 8, 8, 4))
+    t2 = jnp.ones((1, 8, 8, 6))
+    p = m.init(KEY, ir, ir, t1, t2)
+    y, maps = m.apply(p, ir, ir, t1, t2)
+    assert y.shape == (1, 8, 8, 1)
+    assert len(maps) == 2  # one context per interaction round
+    # same params usable without attention outputs
+    m2 = FusionNetwork(channels=16, num_heads=4)
+    y2 = m2.apply(p, ir, ir, t1, t2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
