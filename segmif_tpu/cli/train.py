@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--synthetic_size", type=int, nargs=2, default=(480, 640))
     p.add_argument("--fusion_iters", type=int, default=None)
     p.add_argument("--seg_iters", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="override crop size for BOTH phases (e.g. for small "
+                        "synthetic images)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
     args = p.parse_args(argv)
@@ -54,6 +57,9 @@ def main(argv=None):
         cfg.fusion.iters_round1 = cfg.fusion.iters_later = args.fusion_iters
     if args.seg_iters:
         cfg.seg.iters = args.seg_iters
+    if args.crop_size:
+        cfg.fusion.crop_size = args.crop_size
+        cfg.data.crop_size = args.crop_size
     cfg.mesh_data = args.mesh_data
     cfg.mesh_model = args.mesh_model
 
