@@ -42,13 +42,19 @@ def main():
     # steady-state number anyway.
     @jax.jit
     def pipeline_many(variables, ir, vis):
-        def body(carry_ir, _):
-            fused_rgb, fused_y, logits = model.apply(variables, carry_ir, vis)
+        def body(carry, _):
+            carry_ir, carry_vis = carry
+            # EVERY input must depend on the carry, or XLA hoists the
+            # loop-invariant parts (e.g. the guide-encoder pass) out of the
+            # loop and the number lies
+            fused_rgb, fused_y, logits = model.apply(variables, carry_ir,
+                                                     carry_vis)
             pred = jnp.argmax(logits, axis=-1)
-            nxt = carry_ir + jnp.mean(fused_y) * 1e-7  # forbid elision
-            return nxt, (jnp.sum(pred), jnp.mean(fused_rgb))
-        carry, outs = jax.lax.scan(body, ir, None, length=iters)
-        return jnp.sum(carry, dtype=jnp.float32) + outs[1][-1]
+            eps = jnp.mean(fused_y) * 1e-7
+            return (carry_ir + eps, carry_vis + eps), (jnp.sum(pred),
+                                                       jnp.mean(fused_rgb))
+        carry, outs = jax.lax.scan(body, (ir, vis), None, length=iters)
+        return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
 
     float(pipeline_many(variables, ir, vis))  # compile + warmup
     times = []

@@ -1,0 +1,323 @@
+"""Fused Pallas TPU kernel for the DRDB (dilated residual dense block).
+
+The DRDB (/root/reference/core/model_fusion.py:117-157) is the fusion
+network's hot op: 5 dilated(2) 3x3 convs with dense concat growth (+32ch)
+plus a 1x1 bottleneck, at FULL image resolution. Run naively through XLA it
+is slow for two independent reasons, measured on v5e:
+
+ 1. every growth conv has only 32 output channels — 25% of the 128 MXU
+    lanes (a 224->32 conv and a 224->128 conv take the SAME time);
+ 2. the dense concats materialize ever-wider activations in HBM
+    (96/128/160/192/224 channels at 480x640).
+
+This kernel fixes both:
+
+ - conv-over-concat == sum of per-source convs, so each source's
+   contributions to ALL later convs become one wide matmul
+   (64->160, 32->128, 32->96, 32->64, 32->32 instead of five 32-wide convs);
+ - the block runs on a VMEM-resident spatial tile with a halo: no
+   intermediate ever touches HBM;
+ - activations live in a FLAT [rows, channels] layout; the 9 dilated taps
+   are realized as cheap `pltpu.roll`s, with the three dx-taps stacked into
+   the contraction dim (K = 3*cin), so each conv is 3 MXU matmuls with no
+   per-tap reshapes or unaligned window slices. Roll wrap-around garbage
+   stays inside the halo ring (2 pixels/conv, 10 total < 12 halo).
+
+Padding semantics are EXACTLY the reference chain's per-conv zero padding:
+the wrapper zero-pads the image, and in-kernel masks re-zero activations
+outside the true image bounds.
+
+Backward: custom_vjp recomputes through the XLA reference chain.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 96
+TILE_W = 128
+HALO = 12   # >= 10 (5 convs x reach 2); 12 keeps DMA block sizes 8-aligned
+
+
+# ------------------------------------------------------------ reference ----
+
+def drdb_xla(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
+    """Naive XLA chain — ground truth and the custom-vjp backward path.
+    x: [B, H, W, C]; w: {dconv1..5: {kernel [3,3,Cin,G], bias}, bottleneck:
+    {kernel [1,1,Ctot,C], bias}}."""
+    feat = x
+    for i in range(5):
+        k = w[f"dconv{i + 1}"]["kernel"]
+        b = w[f"dconv{i + 1}"]["bias"]
+        y = jax.lax.conv_general_dilated(
+            feat, k.astype(x.dtype), (1, 1), [(2, 2), (2, 2)],
+            rhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        feat = jnp.concatenate([feat, jax.nn.relu(y + b.astype(x.dtype))],
+                               axis=-1)
+    k = w["bottleneck"]["kernel"]
+    b = w["bottleneck"]["bias"]
+    y = jax.lax.conv_general_dilated(
+        feat, k.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x + jax.nn.relu(y + b.astype(x.dtype))
+
+
+# --------------------------------------------------------------- kernel ----
+
+def _group_weights(w: Dict, c: int, g: int):
+    """Per-source grouped kernels, dx-taps stacked into the contraction dim:
+    source s yields [3(dy), 3*cin_s, n_s]."""
+    ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
+    grouped = []
+    for s in range(5):
+        lo = c + (s - 1) * g if s > 0 else 0
+        hi = lo + (c if s == 0 else g)
+        cols = jnp.concatenate([ks[i][:, :, lo:hi, :] for i in range(s, 5)],
+                               axis=-1)  # [3, 3, cin_s, n_s]
+        _, _, cin_s, n_s = cols.shape
+        grouped.append(cols.reshape(3, 3 * cin_s, n_s))
+    biases = jnp.concatenate([w[f"dconv{i + 1}"]["bias"] for i in range(5)])
+    wb = w["bottleneck"]["kernel"][0, 0]  # [c+5g, c]
+    bb = w["bottleneck"]["bias"]
+    return grouped, biases.reshape(1, -1), wb, bb.reshape(1, -1)
+
+
+def _make_kernel(c: int, g: int, img_h: int, img_w: int, out_dtype):
+    sh = TILE_H + 2 * HALO
+    sw = TILE_W + 2 * HALO
+    rows = sh * sw
+
+    def roll_rows(t, shift: int):
+        """Static row roll. Mosaic's rotate only supports 32-bit data, so
+        bf16 rows are bitcast-packed in PAIRS into i32 and rolled by
+        shift/2 — all shifts here are even (dilation 2, even sw)."""
+        if shift % rows == 0:
+            return t
+        if t.dtype == jnp.float32 or t.dtype == jnp.int32:
+            return pltpu.roll(t, shift % rows, 0)
+        assert t.dtype == jnp.bfloat16 and shift % 2 == 0 and rows % 2 == 0
+        packed = pltpu.bitcast(t, jnp.int32)
+        rolled = pltpu.roll(packed, (shift // 2) % (rows // 2), 0)
+        return pltpu.bitcast(rolled, jnp.bfloat16)
+
+    def conv(src_flat, wk):
+        """src_flat: [rows, cin]; wk: [3, 3*cin, n]. Dilated(2) 3x3 conv in
+        flat layout: out[p] = sum_dy rolled_dx_stack(src)[p + 2(dy-1)sw]."""
+        n = wk.shape[-1]
+        # stack dx = -2, 0, +2 neighbours into channels: [rows, 3*cin]
+        up = roll_rows(src_flat, 2)          # out[i] = src[i-2]
+        down = roll_rows(src_flat, rows - 2)  # out[i] = src[i+2]
+        src3 = jnp.concatenate([up, src_flat, down], axis=-1)
+        acc = jnp.zeros((rows, n), jnp.float32)
+        for dy in range(3):
+            shift = (-(dy - 1) * 2 * sw) % rows
+            shifted = roll_rows(src3, shift)
+            acc = acc + jax.lax.dot_general(
+                shifted, wk[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    def kernel(x_hbm, wx, w1, w2, w3, w4, bias, wb, bb, o_ref, xb, sem):
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.program_id(0), pl.ds(ti * TILE_H, sh),
+                     pl.ds(tj * TILE_W, sw), :],
+            xb, sem)
+        dma.start()
+        dma.wait()
+
+        # canvas origin in TRUE image coordinates (shared by all tensors)
+        row0 = ti * TILE_H - HALO
+        col0 = tj * TILE_W - HALO
+
+        # one [rows, 1] in-image indicator, broadcast-multiplied into each
+        # r_i — the original chain's per-conv zero padding at image borders
+        idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        r_im = row0 + idx // sw
+        c_im = col0 + idx % sw
+        ok = ((r_im >= 0) & (r_im < img_h) & (c_im >= 0) & (c_im < img_w))
+        mask_val = ok.astype(out_dtype)
+
+        def mask(t):
+            return t * mask_val.astype(t.dtype)
+
+        x3d = xb[...]                          # [sh, sw, c_pad]
+        x = x3d.reshape(rows, x3d.shape[-1])[:, :c]
+        bias_all = bias[...][0]
+
+        yx = conv(x, wx[...])                  # [rows, 5g] f32
+        r1 = mask(jax.nn.relu(yx[:, 0:g] + bias_all[0:g])).astype(out_dtype)
+        y1 = conv(r1, w1[...])                 # [rows, 4g]
+        r2 = mask(jax.nn.relu(yx[:, g:2 * g] + y1[:, 0:g]
+                              + bias_all[g:2 * g])).astype(out_dtype)
+        y2 = conv(r2, w2[...])                 # [rows, 3g]
+        r3 = mask(jax.nn.relu(yx[:, 2 * g:3 * g] + y1[:, g:2 * g]
+                              + y2[:, 0:g]
+                              + bias_all[2 * g:3 * g])).astype(out_dtype)
+        y3 = conv(r3, w3[...])                 # [rows, 2g]
+        r4 = mask(jax.nn.relu(yx[:, 3 * g:4 * g] + y1[:, 2 * g:3 * g]
+                              + y2[:, g:2 * g] + y3[:, 0:g]
+                              + bias_all[3 * g:4 * g])).astype(out_dtype)
+        y4 = conv(r4, w4[...])                 # [rows, g]
+        # r5 needs no mask: only its in-image center feeds the output
+        r5 = jax.nn.relu(yx[:, 4 * g:5 * g] + y1[:, 3 * g:4 * g]
+                         + y2[:, 2 * g:3 * g] + y3[:, g:2 * g]
+                         + y4 + bias_all[4 * g:5 * g]).astype(out_dtype)
+
+        # bottleneck 1x1 over [x, r1..r5] + residual on the full canvas
+        # (ring rows are garbage and sliced away below)
+        wb_v = wb[...]
+
+        def bdot(t, lo, hi):
+            return jax.lax.dot_general(
+                t, wb_v[lo:hi, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = bdot(x, 0, c)
+        acc = acc + bdot(r1, c, c + g)
+        acc = acc + bdot(r2, c + g, c + 2 * g)
+        acc = acc + bdot(r3, c + 2 * g, c + 3 * g)
+        acc = acc + bdot(r4, c + 3 * g, c + 4 * g)
+        acc = acc + bdot(r5, c + 4 * g, c + 5 * g)
+        acc = acc + bb[...][0]
+        out = x.astype(jnp.float32) + jax.nn.relu(acc)
+        out3d = out.astype(out_dtype).reshape(sh, sw, c)
+        o_ref[0] = out3d[HALO:HALO + TILE_H, HALO:HALO + TILE_W, :]
+
+    return kernel
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _drdb_pallas_impl(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
+    b, h, wid, c = x.shape
+    g = w["dconv1"]["kernel"].shape[-1]
+    th = _cdiv(h, TILE_H) * TILE_H
+    tw = _cdiv(wid, TILE_W) * TILE_W
+    dtype = x.dtype
+    grouped, biases, wb, bb = _group_weights(w, c, g)
+    grouped = [k.astype(dtype) for k in grouped]
+    # channels padded to the 128-lane tile: HBM memref slices must be
+    # lane-aligned
+    c_pad = _cdiv(c, 128) * 128
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + th - h), (HALO, HALO + tw - wid),
+                     (0, c_pad - c)))
+
+    grid = (b, th // TILE_H, tw // TILE_W)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_kernel(c, g, h, wid, dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [vspec] * 8,
+        out_specs=pl.BlockSpec((1, TILE_H, TILE_W, c),
+                               lambda bi, ti, tj: (bi, ti, tj, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, th, tw, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2 * HALO, TILE_W + 2 * HALO, c_pad), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * b * th * tw * (c * 5 * g + g * (4 + 3 + 2 + 1) * g)
+            + 2 * b * th * tw * (c + 5 * g) * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, *grouped, biases.astype(dtype), wb.astype(dtype), bb.astype(dtype))
+    return out[:, :h, :wid, :]
+
+
+@jax.custom_vjp
+def drdb_pallas(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
+    """Fused DRDB forward. x: [B, H, W, C]; w: DRDB param dict."""
+    return _drdb_pallas_impl(x, w)
+
+
+def _fwd(x, w):
+    return _drdb_pallas_impl(x, w), (x, w)
+
+
+def _bwd(res, gout):
+    x, w = res
+    _, vjp = jax.vjp(drdb_xla, x, w)
+    return vjp(gout)
+
+
+drdb_pallas.defvjp(_fwd, _bwd)
+
+
+def supports(x_shape, channels: int, growth: int) -> bool:
+    """VMEM-fit gate for the fused kernel's tile geometry."""
+    if channels != 64 or growth != 32:
+        return False
+    _, h, wid, c = x_shape
+    return h >= TILE_H and wid >= TILE_W
+
+
+def drdb_grouped_xla(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
+    """Grouped-weights DRDB in pure XLA: conv-over-concat == sum of
+    per-source convs, so each source's contributions to all later convs are
+    one WIDE conv (64->160, 32->128, 32->96, 32->64, 32->32). Numerically
+    identical to the naive chain, ~1.1x faster on v5e (the narrow 32-out
+    convs waste 3/4 of the MXU lanes), and natively differentiable."""
+    c = x.shape[-1]
+    g = w["dconv1"]["kernel"].shape[-1]
+    ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
+    bs = [w[f"dconv{i + 1}"]["bias"].astype(x.dtype) for i in range(5)]
+
+    def grp(s):
+        lo = c + (s - 1) * g if s > 0 else 0
+        hi = lo + (c if s == 0 else g)
+        return jnp.concatenate(
+            [ks[i][:, :, lo:hi, :] for i in range(s, 5)], -1).astype(x.dtype)
+
+    def dconv(src, k):
+        return jax.lax.conv_general_dilated(
+            src, k, (1, 1), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    yx = dconv(x, grp(0))
+    r1 = jax.nn.relu(yx[..., 0:g] + bs[0])
+    y1 = dconv(r1, grp(1))
+    r2 = jax.nn.relu(yx[..., g:2 * g] + y1[..., 0:g] + bs[1])
+    y2 = dconv(r2, grp(2))
+    r3 = jax.nn.relu(yx[..., 2 * g:3 * g] + y1[..., g:2 * g] + y2[..., 0:g]
+                     + bs[2])
+    y3 = dconv(r3, grp(3))
+    r4 = jax.nn.relu(yx[..., 3 * g:4 * g] + y1[..., 2 * g:3 * g]
+                     + y2[..., g:2 * g] + y3[..., 0:g] + bs[3])
+    y4 = dconv(r4, grp(4))
+    r5 = jax.nn.relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g]
+                     + y2[..., 2 * g:3 * g] + y3[..., g:2 * g] + y4 + bs[4])
+    feat = jnp.concatenate([x, r1, r2, r3, r4, r5], -1)
+    y = jax.lax.conv_general_dilated(
+        feat, w["bottleneck"]["kernel"].astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x + jax.nn.relu(y + w["bottleneck"]["bias"].astype(x.dtype))
+
+
+def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto") -> jnp.ndarray:
+    """mode: 'auto' (grouped XLA; pallas if SEGMIF_DRDB_PALLAS=1 on TPU),
+    'grouped', 'pallas', 'naive'."""
+    import os
+
+    if mode == "naive":
+        return drdb_xla(x, w)
+    if mode == "pallas" or (mode == "auto"
+                            and os.environ.get("SEGMIF_DRDB_PALLAS")):
+        from .attention import _on_tpu
+
+        if _on_tpu() and supports(x.shape, x.shape[-1],
+                                  w["dconv1"]["kernel"].shape[-1]):
+            return drdb_pallas(x, w)
+    return drdb_grouped_xla(x, w)

@@ -48,24 +48,47 @@ def _prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
+class _ConvWeights(nn.Module):
+    """Raw conv kernel+bias params (keeps the {name: {kernel, bias}} tree of
+    nn.Conv while letting the DRDB compute path choose its formulation)."""
+    cin: int
+    cout: int
+    ksize: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", _CONV_INIT,
+                          (self.ksize, self.ksize, self.cin, self.cout))
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return kern, bias
+
+
 class DRDB(nn.Module):
     """Dilated residual dense block: 5 dilated(2) 3x3 convs with dense concat
-    growth, 1x1 bottleneck, residual add (model_fusion.py:117-157)."""
+    growth, 1x1 bottleneck, residual add (model_fusion.py:117-157).
+
+    The compute path is kernels.pallas_drdb.drdb_apply: grouped-wide-conv
+    XLA by default (identical math, better MXU lane utilization than the
+    naive narrow-output chain), optional fused Pallas kernel."""
     channels: int = 64
     growth_rate: int = 32
     dtype: jnp.dtype = jnp.float32
+    mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feat = x
+        from ..kernels.pallas_drdb import drdb_apply
+
+        w = {}
+        cin = self.channels
         for i in range(5):
-            y = nn.Conv(self.growth_rate, (3, 3), padding=[(2, 2), (2, 2)],
-                        kernel_dilation=(2, 2), kernel_init=_CONV_INIT,
-                        dtype=self.dtype, name=f"dconv{i + 1}")(feat)
-            feat = jnp.concatenate([feat, nn.relu(y)], axis=-1)
-        y = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
-                    dtype=self.dtype, name="bottleneck")(feat)
-        return x + nn.relu(y)
+            k, b = _ConvWeights(cin, self.growth_rate, 3,
+                                name=f"dconv{i + 1}")()
+            w[f"dconv{i + 1}"] = {"kernel": k, "bias": b}
+            cin += self.growth_rate
+        k, b = _ConvWeights(cin, self.channels, 1, name="bottleneck")()
+        w["bottleneck"] = {"kernel": k, "bias": b}
+        return drdb_apply(x.astype(self.dtype), w, self.mode)
 
 
 class CrossAttentionSeg2Branches(nn.Module):

@@ -1,0 +1,82 @@
+"""DRDB compute-path equivalence: naive chain vs grouped-XLA vs Pallas
+(interpret mode), forward and gradient."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmif_tpu.kernels import pallas_drdb as pd
+
+
+def _weights(rng, c=64, g=32):
+    w = {}
+    cin = c
+    for i in range(5):
+        w[f"dconv{i + 1}"] = {
+            "kernel": jnp.asarray(rng.normal(size=(3, 3, cin, g),
+                                             scale=0.05).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=(g,),
+                                           scale=0.1).astype(np.float32)),
+        }
+        cin += g
+    w["bottleneck"] = {
+        "kernel": jnp.asarray(rng.normal(size=(1, 1, cin, c),
+                                         scale=0.05).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(c,),
+                                       scale=0.1).astype(np.float32)),
+    }
+    return w
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 96, 160, 64)).astype(np.float32))
+    return x, _weights(rng)
+
+
+def test_grouped_matches_naive(setup):
+    x, w = setup
+    ref = pd.drdb_xla(x, w)
+    got = pd.drdb_grouped_xla(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_interpret_matches_naive(setup, monkeypatch):
+    x, w = setup
+    orig = pd.pl.pallas_call
+    monkeypatch.setattr(pd.pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    ref = pd.drdb_xla(x, w)
+    got = pd._drdb_pallas_impl(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_non_tile_multiple_shape(monkeypatch):
+    """Shapes that don't divide the tile geometry are padded + masked."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 100, 172, 64)).astype(np.float32))
+    w = _weights(rng)
+    orig = pd.pl.pallas_call
+    monkeypatch.setattr(pd.pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    ref = pd.drdb_xla(x, w)
+    got = pd._drdb_pallas_impl(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_grouped_gradient_matches_naive(setup):
+    x, w = setup
+    x_small = x[:, :48, :48, :]
+
+    def loss_naive(x, w):
+        return jnp.sum(pd.drdb_xla(x, w) ** 2)
+
+    def loss_grouped(x, w):
+        return jnp.sum(pd.drdb_grouped_xla(x, w) ** 2)
+
+    gn = jax.grad(loss_naive, argnums=(0, 1))(x_small, w)
+    gg = jax.grad(loss_grouped, argnums=(0, 1))(x_small, w)
+    for a, b in zip(jax.tree.leaves(gn), jax.tree.leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)
