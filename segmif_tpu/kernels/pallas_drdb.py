@@ -92,13 +92,17 @@ def _make_kernel(c: int, g: int, img_h: int, img_w: int, out_dtype):
     rows = sh * sw
 
     def roll_rows(t, shift: int):
-        """Static row roll. Mosaic's rotate only supports 32-bit data, so
-        bf16 rows are bitcast-packed in PAIRS into i32 and rolled by
-        shift/2 — all shifts here are even (dilation 2, even sw)."""
-        if shift % rows == 0:
+        """Static row roll. When the split point is 8-aligned (sublane
+        tile), concat-of-slices copies at full throughput; otherwise fall
+        back to tpu.rotate (32-bit only -> bitcast bf16 pairs, all shifts
+        here are even)."""
+        shift = shift % rows
+        if shift == 0:
             return t
+        if shift % 8 == 0 and (rows - shift) % 8 == 0:
+            return jnp.concatenate([t[rows - shift:], t[:rows - shift]], 0)
         if t.dtype == jnp.float32 or t.dtype == jnp.int32:
-            return pltpu.roll(t, shift % rows, 0)
+            return pltpu.roll(t, shift, 0)
         assert t.dtype == jnp.bfloat16 and shift % 2 == 0 and rows % 2 == 0
         packed = pltpu.bitcast(t, jnp.int32)
         rolled = pltpu.roll(packed, (shift // 2) % (rows // 2), 0)
@@ -264,16 +268,32 @@ def supports(x_shape, channels: int, growth: int) -> bool:
     return h >= TILE_H and wid >= TILE_W
 
 
-def drdb_grouped_xla(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
+def drdb_grouped_xla(x: jnp.ndarray, w: Dict,
+                     edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Grouped-weights DRDB in pure XLA: conv-over-concat == sum of
     per-source convs, so each source's contributions to all later convs are
     one WIDE conv (64->160, 32->128, 32->96, 32->64, 32->32). Numerically
     identical to the naive chain, ~1.1x faster on v5e (the narrow 32-out
-    convs waste 3/4 of the MXU lanes), and natively differentiable."""
+    convs waste 3/4 of the MXU lanes), and natively differentiable.
+
+    edge_mask (optional, broadcastable against x, e.g. [1, H, 1, 1]):
+    zeroes rows outside the true image when x is a halo-extended shard of a
+    larger image (spatial parallelism) — reproducing the per-conv zero
+    padding the reference applies at the global image boundary. Applied to
+    the input and every intermediate activation."""
     c = x.shape[-1]
     g = w["dconv1"]["kernel"].shape[-1]
     ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
     bs = [w[f"dconv{i + 1}"]["bias"].astype(x.dtype) for i in range(5)]
+
+    if edge_mask is not None:
+        m = edge_mask.astype(x.dtype)
+        x = x * m
+
+        def relu(t):
+            return jax.nn.relu(t) * m
+    else:
+        relu = jax.nn.relu
 
     def grp(s):
         lo = c + (s - 1) * g if s > 0 else 0
@@ -287,17 +307,17 @@ def drdb_grouped_xla(x: jnp.ndarray, w: Dict) -> jnp.ndarray:
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     yx = dconv(x, grp(0))
-    r1 = jax.nn.relu(yx[..., 0:g] + bs[0])
+    r1 = relu(yx[..., 0:g] + bs[0])
     y1 = dconv(r1, grp(1))
-    r2 = jax.nn.relu(yx[..., g:2 * g] + y1[..., 0:g] + bs[1])
+    r2 = relu(yx[..., g:2 * g] + y1[..., 0:g] + bs[1])
     y2 = dconv(r2, grp(2))
-    r3 = jax.nn.relu(yx[..., 2 * g:3 * g] + y1[..., g:2 * g] + y2[..., 0:g]
+    r3 = relu(yx[..., 2 * g:3 * g] + y1[..., g:2 * g] + y2[..., 0:g]
                      + bs[2])
     y3 = dconv(r3, grp(3))
-    r4 = jax.nn.relu(yx[..., 3 * g:4 * g] + y1[..., 2 * g:3 * g]
+    r4 = relu(yx[..., 3 * g:4 * g] + y1[..., 2 * g:3 * g]
                      + y2[..., g:2 * g] + y3[..., 0:g] + bs[3])
     y4 = dconv(r4, grp(4))
-    r5 = jax.nn.relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g]
+    r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g]
                      + y2[..., 2 * g:3 * g] + y3[..., g:2 * g] + y4 + bs[4])
     feat = jnp.concatenate([x, r1, r2, r3, r4, r5], -1)
     y = jax.lax.conv_general_dilated(

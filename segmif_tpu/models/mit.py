@@ -132,6 +132,39 @@ class EfficientSelfAttention(nn.Module):
         return out
 
 
+def depthwise_conv3x3_shift(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3 'same' conv as 9 shifted multiply-adds (pure VPU).
+
+    x: [B, H, W, C]; kernel: [3, 3, 1, C] (nn.Conv HWIO layout); bias: [C].
+    XLA's grouped-conv lowering of depthwise convs is catastrophically slow
+    on TPU when a matmul consumes the result (measured 10x on a stage-3
+    MixFFN, see OPTIMIZATION.md); this formulation fuses into a single
+    elementwise pass over 9 shifted reads."""
+    h, w = x.shape[1], x.shape[2]
+    k = kernel[:, :, 0].astype(x.dtype)  # [3, 3, C]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            t = xp[:, dy:dy + h, dx:dx + w, :] * k[dy, dx]
+            acc = t if acc is None else acc + t
+    return acc + bias.astype(x.dtype)
+
+
+class _DWConvWeights(nn.Module):
+    """Raw depthwise-conv params in nn.Conv's {kernel [3,3,1,C], bias [C]}
+    layout (keeps the checkpoint tree while the compute path uses the
+    shift formulation)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", _CONV_INIT, (3, 3, 1, self.channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return kern, bias
+
+
 class MixFFN(nn.Module):
     """fc1 -> depthwise 3x3 conv -> GELU(exact) -> fc2
     (/root/reference/core/mix_transformer.py:18-53,376-387)."""
@@ -145,9 +178,8 @@ class MixFFN(nn.Module):
         x = nn.Dense(self.hidden_dim, kernel_init=_DENSE_INIT,
                      dtype=self.dtype, name="fc1")(x)
         x = x.reshape(b, h, w, self.hidden_dim)
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=[(1, 1), (1, 1)],
-                    feature_group_count=self.hidden_dim, kernel_init=_CONV_INIT,
-                    dtype=self.dtype, name="dwconv")(x)
+        dk, db = _DWConvWeights(self.hidden_dim, name="dwconv")()
+        x = depthwise_conv3x3_shift(x, dk, db)
         x = x.reshape(b, n, self.hidden_dim)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_dim, kernel_init=_DENSE_INIT, dtype=self.dtype,

@@ -1,0 +1,220 @@
+"""Spatial (sequence) parallelism for the fusion network: 2-D image-grid
+sharding with halo exchange.
+
+The reference has no long-sequence mechanism beyond sr-attention
+(SURVEY.md §5.7); for the 1080p/mit_b5 stretch config a single chip runs
+out of HBM for the full-res fusion trunk. This module shards the image's
+ROW dimension across the mesh's 'data' axis under shard_map:
+
+ - convolutions see a halo of neighbor rows, exchanged with
+   `jax.lax.ppermute` before the shard-local forward (ICI neighbor
+   traffic only);
+ - the hierarchical interactive attention is the O(N) "context vector"
+   linear attention, whose context matrix  softmax(k^T v)  is a SUM over
+   tokens — so the shard-local partial k^T v matrices are combined with a
+   single `psum` and every shard applies the identical global context.
+   This makes spatially-sharded attention EXACT, not an approximation.
+
+`spatial_fuse` runs FusionNetwork's forward this way; each shard computes
+its rows of the fused image. The seg branch stays data-parallel (its
+sr-attention is not token-separable); this module covers the full-res
+fusion trunk, which is where the memory pressure lives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels.pallas_drdb import drdb_grouped_xla
+
+# Receptive-field halo of the fusion trunk up to a given point:
+# conv1 (3x3, reach 1) + DRDB (5 dilated convs, reach 10) per round.
+_HALO = 16  # covers conv1 + DRDB + DRDB after the FFM + final 3x3 chain
+
+
+def _exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Pad a row-sharded [rows_local, W, C] block with `halo` rows from each
+    neighbor shard (zeros at the global edges)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    down = [(i, (i + 1) % n) for i in range(n)]   # send my bottom rows down
+    up = [(i, (i - 1) % n) for i in range(n)]     # send my top rows up
+    from_above = jax.lax.ppermute(x[-halo:], axis_name, down)
+    from_below = jax.lax.ppermute(x[:halo], axis_name, up)
+    zeros = jnp.zeros_like(from_above)
+    from_above = jnp.where(idx == 0, zeros, from_above)
+    from_below = jnp.where(idx == n - 1, zeros, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
+def _crop_halo(x: jnp.ndarray, halo: int) -> jnp.ndarray:
+    return x[halo:x.shape[0] - halo]
+
+
+def _conv(x, k, b=None, dilation=1):
+    p = dilation * (k.shape[0] // 2)
+    y = jax.lax.conv_general_dilated(
+        x[None], k.astype(x.dtype), (1, 1), [(p, p), (p, p)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+def _linear_cross_attention_sharded(q, k, v, scale, axis_name):
+    """Exact linear cross-attention over the GLOBAL token set: local k^T v
+    partial sums -> psum -> softmax -> q @ ctx. q,k,v: [N_local, H, D]."""
+    ctx = jnp.einsum("mhd,mhe->hde", k, v) * scale
+    ctx = jax.lax.psum(ctx, axis_name)
+    ctx = jax.nn.softmax(ctx.astype(jnp.float32), axis=-2).astype(q.dtype)
+    return jnp.einsum("nhd,hde->nhe", q, ctx)
+
+
+def _crosspath_sharded(w: Dict, x1, x2, seg, num_heads, axis_name):
+    """CrossPath forward (models/fusion.py CrossPath) on row-sharded token
+    blocks. x1/x2/seg: [N_local, C]."""
+    dim = x1.shape[-1]
+    h = num_heads
+    d = dim // h
+    scale = d**-0.5
+
+    def dense(name, t):
+        return t @ w[name]["kernel"].astype(t.dtype) + w[name]["bias"].astype(t.dtype)
+
+    def dense_nb(sub, name, t):
+        return t @ w[sub][name]["kernel"].astype(t.dtype)
+
+    y1, u1 = jnp.split(jax.nn.relu(dense("channel_proj1", x1)), 2, -1)
+    y2, u2 = jnp.split(jax.nn.relu(dense("channel_proj2", x2)), 2, -1)
+    y3, u3 = jnp.split(jax.nn.relu(dense("channel_proj3", seg)), 2, -1)
+
+    n = x1.shape[0]
+    kv3 = dense_nb("cross_attn", "kv_seg", u3)
+    k3 = kv3[..., :dim].reshape(n, h, d)
+    v3 = kv3[..., dim:].reshape(n, h, d)
+    v1 = _linear_cross_attention_sharded(
+        u1.reshape(n, h, d), k3, v3, scale, axis_name).reshape(n, dim)
+    v2 = _linear_cross_attention_sharded(
+        u2.reshape(n, h, d), k3, v3, scale, axis_name).reshape(n, dim)
+
+    def kv_attend(name, src):
+        kv = dense_nb("cross_attn2", name, src)
+        kk = kv[..., :dim].reshape(n, h, d)
+        vv = kv[..., dim:].reshape(n, h, d)
+        return _linear_cross_attention_sharded(
+            y3.reshape(n, h, d), kk, vv, scale, axis_name).reshape(n, dim)
+
+    z1 = kv_attend("kv1", y1)
+    z2 = kv_attend("kv2", y2)
+
+    def ln(name, t):
+        mean = jnp.mean(t.astype(jnp.float32), -1, keepdims=True)
+        var = jnp.var(t.astype(jnp.float32), -1, keepdims=True)
+        nrm = (t.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (nrm * w[name]["scale"] + w[name]["bias"]).astype(t.dtype)
+
+    o1 = dense("end_proj1", jnp.concatenate([z1, v1], -1))
+    o2 = dense("end_proj2", jnp.concatenate([z2, v2], -1))
+    return ln("norm1", x1 + o1), ln("norm2", x2 + o2)
+
+
+def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
+                            num_heads: int, axis_name: str):
+    """Shard-local FusionNetwork forward ([rows_local, W, ch] blocks).
+
+    Convs run on halo-extended blocks (halo exchanged per interaction
+    segment); the FFM attention psums its context."""
+    alpha = params["prelu_alpha"]
+    rows_local = ir.shape[0]
+    n_shards = jax.lax.axis_size(axis_name)
+    shard_idx = jax.lax.axis_index(axis_name)
+    h_global = rows_local * n_shards
+
+    def edge_mask(halo: int):
+        """[1, rows_local+2*halo, 1, 1] in-image row indicator for a
+        halo-extended block — zeroes the rows the reference's per-conv zero
+        padding would zero at the global image boundary."""
+        g = (shard_idx * rows_local - halo
+             + jnp.arange(rows_local + 2 * halo))
+        ok = (g >= 0) & (g < h_global)
+        return ok.astype(ir.dtype)[None, :, None, None]
+
+    def trunk(x, conv_name, drdb_name):
+        xh = _exchange_halo(x, _HALO, axis_name)
+        y = _prelu(_conv(xh, params[conv_name]["kernel"],
+                         params[conv_name]["bias"]), alpha)
+        y = drdb_grouped_xla(y[None], params[drdb_name],
+                             edge_mask=edge_mask(_HALO))[0]
+        return _crop_halo(y, _HALO)
+
+    x1 = trunk(ir[..., 0:1], "conv1_ir", "drdb1")
+    x2 = trunk(vis_y[..., 0:1], "conv1_vis", "drdb2")
+
+    def seg_proj(name, t):
+        return _conv(t, params[name]["kernel"], params[name]["bias"])
+
+    def ffm(x1, x2, s):
+        rl, wd, c = x1.shape
+        t1, t2 = _crosspath_sharded(params["ffm"]["cross"],
+                                    x1.reshape(rl * wd, c),
+                                    x2.reshape(rl * wd, c),
+                                    s.reshape(rl * wd, s.shape[-1]),
+                                    num_heads, axis_name)
+        return t1.reshape(rl, wd, c), t2.reshape(rl, wd, c)
+
+    x1, x2 = ffm(x1, x2, seg_proj("seg_proj1", tap1))
+
+    def drdb_h(x, name):
+        xh = _exchange_halo(x, _HALO, axis_name)
+        return _crop_halo(drdb_grouped_xla(
+            xh[None], params[name], edge_mask=edge_mask(_HALO))[0], _HALO)
+
+    x1 = drdb_h(x1, "drdb3")
+    x2 = drdb_h(x2, "drdb4")
+    x1, x2 = ffm(x1, x2, seg_proj("seg_proj2", tap2))
+
+    y = jnp.concatenate([x1, x2], axis=-1)
+    yh = _exchange_halo(y, 3, axis_name)
+    m3 = edge_mask(3)[0]
+    # each conv's input is masked at out-of-image rows (the reference's
+    # per-conv zero padding at the global boundary)
+    y = _prelu(_conv(yh * m3, params["conv2"]["kernel"],
+                     params["conv2"]["bias"]), alpha)
+    y = _prelu(_conv(y * m3, params["conv21"]["kernel"],
+                     params["conv21"]["bias"]), alpha)
+    y = _prelu(_conv(y * m3, params["conv22"]["kernel"],
+                     params["conv22"]["bias"]), alpha)
+    return _crop_halo(y, 3)
+
+
+def spatial_fuse(mesh: Mesh, params: Dict, ir, vis_y, tap1, tap2,
+                 num_heads: int = 8, axis: str = "data"):
+    """Run FusionNetwork's forward with the image rows sharded over `axis`.
+
+    params: the FusionNetwork param dict (variables['params']['fusion']).
+    ir/vis_y: [H, W, 1]; tap1: [H, W, 64]; tap2: [H, W, 128] (single image;
+    vmap externally for batches). H must divide the axis size. Returns the
+    fused Y [H, W, 1]. Exact (halo-exchanged convs + psum'd attention).
+    """
+    n = mesh.shape[axis]
+    h = ir.shape[0]
+    assert h % n == 0, (h, n)
+
+    spec_in = P(axis, None, None)
+    fn = jax.shard_map(
+        functools.partial(_fusion_forward_sharded, num_heads=num_heads,
+                          axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(), spec_in, spec_in, spec_in, spec_in),
+        out_specs=spec_in,
+    )
+    return fn(params, ir, vis_y, tap1, tap2)
