@@ -49,8 +49,12 @@ class SegModel(nn.Module):
                  return_cam: bool = False):
         feats = self.encoder(x, deterministic)
         logits = self.decoder(feats, deterministic)
+        # the reference computes the aux classifier unconditionally and
+        # discards it (core/model_fusion.py:62-68); calling it keeps the
+        # param tree checkpoint-compatible and XLA removes the dead compute
+        cam = self.classifier(feats[-1])
         if return_cam:
-            return logits, self.classifier(feats[-1])
+            return logits, cam
         return logits
 
     def encode(self, x: jnp.ndarray, deterministic: bool = True):

@@ -197,14 +197,25 @@ class InteractiveTrainer:
             out_train = Path(cfg.checkpoint_dir) / f"fused_train_r{round_idx}"
             out_val = Path(cfg.checkpoint_dir) / f"fused_val_r{round_idx}"
         variables = self._full_variables()
+        ssim_val = None
         for data, out in ((self.train_data, out_train),
                           (self.val_data, out_val)):
+            old_guide = data.guide
             names, fused, _ = generate_fused(
                 self.fuse_fn, variables, data, batch_size=4, out_dir=out)
             fused8 = _to_uint8(fused)
+            if data is self.val_data:
+                from ..eval.evaluator import fusion_quality_eval
+
+                q = fusion_quality_eval(
+                    fused, old_guide.astype(np.float32) / 255.0)
+                ssim_val = q["ssim"]
             data.guide = fused8  # seg phase segments these
-        self.log.info("[round %d] regenerated %d train + %d val fused images",
-                      round_idx, len(self.train_data), len(self.val_data))
+        self.log.info(
+            "[round %d] regenerated %d train + %d val fused images "
+            "(val SSIM vs previous guide: %.4f)",
+            round_idx, len(self.train_data), len(self.val_data),
+            ssim_val if ssim_val is not None else float("nan"))
 
     def train_seg_phase(self, round_idx: int):
         cfg = self.cfg
