@@ -216,11 +216,14 @@ class Block(nn.Module):
 class MixVisionTransformer(nn.Module):
     config: MiTConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM in training)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         """x: NHWC image. Returns [c1, c2, c3, c4] NHWC feature maps."""
         cfg = self.config
+        block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) if self.remat \
+            else Block
         total_depth = sum(cfg.depths)
         dpr = [cfg.drop_path_rate * i / max(total_depth - 1, 1)
                for i in range(total_depth)]
@@ -233,10 +236,11 @@ class MixVisionTransformer(nn.Module):
                 cfg.strides[stage], self.dtype,
                 name=f"patch_embed{stage + 1}")(x)
             for i in range(cfg.depths[stage]):
-                x = Block(cfg.embed_dims[stage], cfg.num_heads[stage],
-                          cfg.sr_ratios[stage], cfg.mlp_ratios[stage],
-                          cfg.qkv_bias, dpr[cur + i], self.dtype,
-                          name=f"block{stage + 1}_{i}")(x, h, w, deterministic)
+                x = block_cls(cfg.embed_dims[stage], cfg.num_heads[stage],
+                              cfg.sr_ratios[stage], cfg.mlp_ratios[stage],
+                              cfg.qkv_bias, dpr[cur + i], self.dtype,
+                              name=f"block{stage + 1}_{i}")(x, h, w,
+                                                            deterministic)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"norm{stage + 1}")(x)
             x = x.reshape(b, h, w, cfg.embed_dims[stage])
