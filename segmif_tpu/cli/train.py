@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--crop_size", type=int, default=None,
                    help="override crop size for BOTH phases (e.g. for small "
                         "synthetic images)")
+    p.add_argument("--start_round", type=int, default=1,
+                   help="resume from this round (loads checkpoints)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
     args = p.parse_args(argv)
@@ -81,7 +83,7 @@ def main(argv=None):
             label_dir=cfg.data.label_dir)
 
     trainer = InteractiveTrainer(cfg, train_ds, val_ds, logger=logger)
-    result = trainer.run()
+    result = trainer.run(start_round=args.start_round)
     logger.info("training complete: best mIoU %.4f", result["best_mIoU"])
     return result
 

@@ -37,7 +37,40 @@ def _natsort(names: Sequence[str]) -> List[str]:
     return sorted(names, key=key)
 
 
+_USE_NATIVE = None
+
+
+def _native():
+    """The C++ decode runtime (runtime/dataloader.cpp), if buildable."""
+    global _USE_NATIVE
+    if _USE_NATIVE is None:
+        import os
+
+        if os.environ.get("SEGMIF_DISABLE_NATIVE_IO"):
+            _USE_NATIVE = False
+        else:
+            try:
+                from . import native
+
+                _USE_NATIVE = native.available()
+            except Exception:
+                _USE_NATIVE = False
+    if _USE_NATIVE:
+        from . import native
+
+        return native
+    return None
+
+
 def _load_image(path: Path, gray_to_rgb: bool = False) -> np.ndarray:
+    nat = _native()
+    if nat is not None and path.suffix.lower() in (".png", ".jpg", ".jpeg"):
+        try:
+            h, w, c = nat.probe_image(path)
+            out_c = 3 if (gray_to_rgb or c >= 3) else 1
+            return nat.decode_image(path, channels=out_c)
+        except (IOError, AssertionError):
+            pass  # fall through to PIL
     from PIL import Image
 
     img = Image.open(path)

@@ -316,10 +316,15 @@ class InteractiveTrainer:
 
     # --------------------------------------------------------------- run ----
 
-    def run(self):
+    def run(self, start_round: int = 1):
         """The full interactive schedule (reference __main__,
-        train.py:416-435)."""
-        for round_idx in range(1, self.cfg.rounds + 1):
+        train.py:416-435). start_round > 1 resumes after a restart (combine
+        with load_checkpoints(), mirroring the reference's
+        warm-start-if-exists logic, train.py:159-160,305-311)."""
+        if start_round > 1:
+            self.load_checkpoints()
+            self.regenerate_fused(start_round - 1)
+        for round_idx in range(start_round, self.cfg.rounds + 1):
             self.log.info("==== round %d/%d: fusion phase ====",
                           round_idx, self.cfg.rounds)
             self.train_fusion_phase(round_idx)
