@@ -26,7 +26,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    import numpy as np
 
     from ..data.datasets import MethodFolderDataset
     from ..eval.evaluator import segmentation_eval

@@ -27,7 +27,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels.pallas_drdb import drdb_grouped_xla
 

@@ -24,10 +24,8 @@ voc_fusion3's Mask2; val_fusion reads Mask2 too, val_performance.py:409).
 """
 from __future__ import annotations
 
-import dataclasses
 import datetime
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
