@@ -62,6 +62,82 @@ def linear_cross_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+def linear_cross_attention_flat(q: jnp.ndarray, k: jnp.ndarray,
+                                v: jnp.ndarray, scale: float, num_heads: int,
+                                return_ctx: bool = False):
+    """Head-folded linear cross-attention on FLAT [B, N, C] tensors.
+
+    Mathematically identical to `linear_cross_attention_xla` on the
+    head-split reshapes, but never materializes a [B, N, H, D] layout: with
+    D = C/H = 8, every per-head op underfills the 128-wide TPU lanes by 16x
+    and XLA pays physical relayouts around each reshape/transpose. Instead:
+
+      * the per-head contexts k_h^T v_h are the H diagonal blocks of the
+        single flat matmul k^T v ([B, C, C], tiny);
+      * the per-head column softmax becomes one masked softmax on that flat
+        matrix (entries outside the diagonal blocks -> 0);
+      * `out_h = q_h @ ctx_h` for all heads is one [B, N, C] x [B, C, C]
+        matmul against the resulting block-diagonal matrix (the zero blocks
+        contribute exact fp zeros).
+
+    Returns [B, N, C] (and the [B, H, D, D] context blocks when return_ctx,
+    matching the reference's *_showAttention visualization output,
+    model_fusion.py:538-624).
+    """
+    bd = linear_ctx_blockdiag(k, v, scale, num_heads).astype(q.dtype)
+    out = jnp.einsum("bnc,bcd->bnd", q, bd)
+    if return_ctx:
+        b, c = bd.shape[0], bd.shape[-1]
+        d = c // num_heads
+        ctx = bd.astype(jnp.float32).reshape(
+            b, num_heads, d, num_heads, d)[:, jnp.arange(num_heads), :,
+                                           jnp.arange(num_heads), :]
+        # advanced indices move to the front -> [H, B, D, D]; batch first
+        return out, jnp.swapaxes(ctx, 0, 1)
+    return out
+
+
+def _blockdiag_softmax(ctx_full: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    c = ctx_full.shape[-1]
+    blk = jnp.arange(c) // (c // num_heads)
+    block_mask = blk[:, None] == blk[None, :]  # [C, C]
+    logits = jnp.where(block_mask, ctx_full, -jnp.inf)
+    return jax.nn.softmax(logits, axis=-2)  # zeros outside the blocks
+
+
+def linear_ctx_blockdiag(k: jnp.ndarray, v: jnp.ndarray, scale: float,
+                         num_heads: int) -> jnp.ndarray:
+    """Block-diagonal [B, C, C] context matrix for flat linear attention
+    (see `linear_cross_attention_flat`); float32."""
+    ctx_full = jnp.einsum("bnc,bnd->bcd", k, v,
+                          preferred_element_type=jnp.float32) * scale
+    return _blockdiag_softmax(ctx_full, num_heads)
+
+
+def linear_ctx_blockdiag_from_gram(gram: jnp.ndarray, wkv: jnp.ndarray,
+                                   scale: float,
+                                   num_heads: int) -> jnp.ndarray:
+    """Block-diagonal context straight from a gram matrix.
+
+    With K = X Wk and V = X Wv, the context K^T V equals Wk^T (X^T X) Wv —
+    so given the [B, C, C] gram matrix of the source tokens and the fused
+    [C, 2C] KV projection weight, the K/V projections never have to be
+    materialized over the N tokens at all (saves ~1.9 GB of HBM traffic per
+    projection at 480x640 batch 8). float32 throughout the tiny matrices.
+    """
+    c = gram.shape[-1]
+    wk = wkv[:, :c].astype(jnp.float32)
+    wv = wkv[:, c:].astype(jnp.float32)
+    ctx_full = jnp.einsum("ce,bcd,df->bef", wk, gram, wv) * scale
+    return _blockdiag_softmax(ctx_full, num_heads)
+
+
+def token_gram(t: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, C] -> [B, C, C] gram matrix X^T X in float32."""
+    return jnp.einsum("bnc,bnd->bcd", t, t,
+                      preferred_element_type=jnp.float32)
+
+
 def sr_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  scale: float) -> jnp.ndarray:
     """Dispatching sr-attention. See module docstring."""

@@ -35,8 +35,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..kernels.attention import (
-    linear_cross_attention,
-    linear_cross_attention_xla,
+    linear_cross_attention_flat,
+    linear_ctx_blockdiag,
+    linear_ctx_blockdiag_from_gram,
+    token_gram,
 )
 from ..ops.color import minmax_stretch
 
@@ -102,23 +104,22 @@ class CrossAttentionSeg2Branches(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, seg):
-        b, n, c = x1.shape
+        c = x1.shape[-1]
         h = self.num_heads
-        d = c // h
-        scale = d**-0.5
+        scale = (c // h)**-0.5
         kv = nn.Dense(2 * c, use_bias=False, kernel_init=_DENSE_INIT,
                       dtype=self.dtype, name="kv_seg")(seg)
-        k = kv[..., :c].reshape(b, -1, h, d)
-        v = kv[..., c:].reshape(b, -1, h, d)
-        q1 = x1.reshape(b, n, h, d)
-        q2 = x2.reshape(b, n, h, d)
         if self.return_context:
-            o1, ctx = linear_cross_attention_xla(q1, k, v, scale,
-                                                 return_ctx=True)
-            o2 = linear_cross_attention_xla(q2, k, v, scale)
-            return o1.reshape(b, n, c), o2.reshape(b, n, c), ctx
-        o1 = linear_cross_attention(q1, k, v, scale).reshape(b, n, c)
-        o2 = linear_cross_attention(q2, k, v, scale).reshape(b, n, c)
+            o1, ctx = linear_cross_attention_flat(
+                x1, kv[..., :c], kv[..., c:], scale, h, return_ctx=True)
+            o2 = linear_cross_attention_flat(x2, kv[..., :c], kv[..., c:],
+                                             scale, h)
+            return o1, o2, ctx
+        # one block-diagonal context, applied to both branch queries
+        bd = linear_ctx_blockdiag(kv[..., :c], kv[..., c:], scale,
+                                  h).astype(x1.dtype)
+        o1 = jnp.einsum("bnc,bcd->bnd", x1, bd)
+        o2 = jnp.einsum("bnc,bcd->bnd", x2, bd)
         return o1, o2
 
 
@@ -131,19 +132,58 @@ class CrossAttentionBranches2Seg(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, seg):
-        b, n, c = x1.shape
+        c = x1.shape[-1]
         h = self.num_heads
-        d = c // h
-        scale = d**-0.5
-        q = seg.reshape(b, -1, h, d)
+        scale = (c // h)**-0.5
         outs = []
         for name, x in (("kv1", x1), ("kv2", x2)):
             kv = nn.Dense(2 * c, use_bias=False, kernel_init=_DENSE_INIT,
                           dtype=self.dtype, name=name)(x)
-            k = kv[..., :c].reshape(b, n, h, d)
-            v = kv[..., c:].reshape(b, n, h, d)
-            outs.append(linear_cross_attention(q, k, v, scale).reshape(b, -1, c))
+            outs.append(linear_cross_attention_flat(
+                seg, kv[..., :c], kv[..., c:], scale, h))
         return outs[0], outs[1]
+
+
+class _DenseKernel(nn.Module):
+    """Raw Dense kernel param (same tree path/init as nn.Dense(use_bias=False),
+    for compute paths that fold the projection algebraically)."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _DENSE_INIT, (self.cin, self.cout))
+
+
+class _SegKVWeights(nn.Module):
+    """Param tree of CrossAttentionSeg2Branches (kv_seg kernel only)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _DenseKernel(self.dim, 2 * self.dim, name="kv_seg")()
+
+
+class _BranchKVWeights(nn.Module):
+    """Param tree of CrossAttentionBranches2Seg (kv1/kv2 kernels)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseKernel(self.dim, 2 * self.dim, name="kv1")(),
+                _DenseKernel(self.dim, 2 * self.dim, name="kv2")())
+
+
+class _DenseWeights(nn.Module):
+    """Raw Dense kernel+bias params (same tree path/init as nn.Dense)."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _DENSE_INIT, (self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return k, b
 
 
 class CrossPath(nn.Module):
@@ -151,6 +191,13 @@ class CrossPath(nn.Module):
 
     interaction: 'both' (deployed), 'moam' (seg->branches only, CrossPath_M),
     'soam' (branches->seg only, CrossPath_S).
+
+    The deployed 'both' path is computed in a fully FOLDED form (same math,
+    same param tree as the modular path): the KV projections collapse into
+    the tiny per-head contexts via gram matrices (K^T V = Wk^T (X^T X) Wv),
+    and the end projections fold into the [C, C] context matrices, so per
+    round only the three channel_proj matmuls, three gram matmuls, and four
+    [N, C] x [C, C] context applications touch the N = H*W token dimension.
     """
     dim: int
     num_heads: int = 8
@@ -170,6 +217,38 @@ class CrossPath(nn.Module):
         y3, u3 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
                                             dtype=self.dtype,
                                             name="channel_proj3")(seg)), 2, -1)
+        if self.interaction == "both" and not self.return_context:
+            scale = (dim // self.num_heads)**-0.5
+            wkv3 = _SegKVWeights(dim, name="cross_attn")()
+            wkv1, wkv2 = _BranchKVWeights(dim, name="cross_attn2")()
+            we1, be1 = _DenseWeights(2 * dim, dim, name="end_proj1")()
+            we2, be2 = _DenseWeights(2 * dim, dim, name="end_proj2")()
+            # contexts from grams — K/V never materialized over N tokens
+            bd_s = linear_ctx_blockdiag_from_gram(token_gram(u3), wkv3,
+                                                  scale, self.num_heads)
+            bd_1 = linear_ctx_blockdiag_from_gram(token_gram(y1), wkv1,
+                                                  scale, self.num_heads)
+            bd_2 = linear_ctx_blockdiag_from_gram(token_gram(y2), wkv2,
+                                                  scale, self.num_heads)
+
+            # o_i = concat(z_i, v_i) @ We_i + b_i with z_i = y3 @ bd_i and
+            # v_i = u_i @ bd_s  ==>  fold We_i into the [C, C] contexts
+            def fold(bd, we_half):
+                return (bd @ we_half.astype(jnp.float32)).astype(y3.dtype)
+
+            def out(u_i, bd_i, we, be):
+                o = (jnp.einsum("bnc,bcd->bnd", y3, fold(bd_i, we[:dim]))
+                     + jnp.einsum("bnc,bcd->bnd", u_i, fold(bd_s, we[dim:]))
+                     + be.astype(y3.dtype))
+                return o
+
+            o1 = out(u1, bd_1, we1, be1)
+            o2 = out(u2, bd_2, we2, be2)
+            o1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="norm1")(x1 + o1)
+            o2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="norm2")(x2 + o2)
+            return o1, o2
         ctx = None
         if self.interaction == "both":
             if self.return_context:

@@ -132,4 +132,6 @@ def test_fusion_attention_maps():
     # same params usable without attention outputs
     m2 = FusionNetwork(channels=16, num_heads=4)
     y2 = m2.apply(p, ir, ir, t1, t2)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+    # the non-context path folds the end projections into the context
+    # matrices (same math, different fp association) — tolerance covers it
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
