@@ -110,20 +110,24 @@ def _make_kernel(c: int, g: int, img_h: int, img_w: int, out_dtype):
 
     def conv(src_flat, wk):
         """src_flat: [rows, cin]; wk: [3, 3*cin, n]. Dilated(2) 3x3 conv in
-        flat layout: out[p] = sum_dy rolled_dx_stack(src)[p + 2(dy-1)sw]."""
+        flat layout via ONE matmul: all 9 taps stacked into the contraction
+        dim (K = 9*cin), so the K-accumulation stays inside the MXU instead
+        of spilling a [rows, n] float32 accumulator between per-dy matmuls
+        (the dominant VMEM traffic of the 3-matmul formulation)."""
+        cin3 = wk.shape[1]
         n = wk.shape[-1]
         # stack dx = -2, 0, +2 neighbours into channels: [rows, 3*cin]
         up = roll_rows(src_flat, 2)          # out[i] = src[i-2]
         down = roll_rows(src_flat, rows - 2)  # out[i] = src[i+2]
         src3 = jnp.concatenate([up, src_flat, down], axis=-1)
-        acc = jnp.zeros((rows, n), jnp.float32)
-        for dy in range(3):
-            shift = (-(dy - 1) * 2 * sw) % rows
-            shifted = roll_rows(src3, shift)
-            acc = acc + jax.lax.dot_general(
-                shifted, wk[dy], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return acc
+        # stack dy = -1, 0, +1 rows of src3: [rows, 9*cin]; dy=0 tap first
+        # needs roll +2sw (out[i] = src3[i - 2sw]), matching wk[0]
+        src9 = jnp.concatenate([roll_rows(src3, (2 * sw) % rows), src3,
+                                roll_rows(src3, (rows - 2 * sw) % rows)], -1)
+        wk9 = wk.reshape(3 * cin3, n)
+        return jax.lax.dot_general(
+            src9, wk9, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     def kernel(x_hbm, wx, w1, w2, w3, w4, bias, wb, bb, o_ref, xb, sem):
         ti = pl.program_id(1)
