@@ -330,9 +330,104 @@ def drdb_grouped_xla(x: jnp.ndarray, w: Dict,
     return x + jax.nn.relu(y + w["bottleneck"]["bias"].astype(x.dtype))
 
 
+def _phase_strip_for(hp: int, wp: int) -> int | None:
+    """Pick an H-strip size for the phase formulation: measured v5e fast
+    regime needs (strip + 2*halo) * wp <= ~20k px/plane; strip must divide
+    the phase height. Prefers the largest qualifying divisor (fewer strips =
+    less halo waste)."""
+    best = None
+    for s in range(16, hp + 1):
+        if hp % s:
+            continue
+        if (s + 2 * _PHASE_HALO) * wp <= 22400:
+            best = s
+    return best
+
+
+_PHASE_HALO = 5  # 5 dil-1 convs after the phase split, reach 1 each
+
+
+def drdb_phase_xla(x: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
+    """EXACT DRDB via parity phase decomposition + H halo strips.
+
+    A dilated(2) conv never mixes 2x2 pixel-parity phases, so the whole
+    DRDB chain (dil-2 convs, relu, concat, 1x1 bottleneck, residual) is
+    phase-separable: space-to-depth the image into 4 phase planes batched
+    along N and run the SAME weights as dilation-1 convs at half resolution.
+    The phase planes are then cut into `strip`-row halo strips so each conv
+    runs in XLA's fast small-plane regime (~1.7x on v5e at 480x640; see
+    OPTIMIZATION.md). Intermediates are re-zeroed outside the true image so
+    borders match the reference's per-conv zero padding exactly.
+    """
+    b, h, wd, c = x.shape
+    g = w["dconv1"]["kernel"].shape[-1]
+    hp, wp = h // 2, wd // 2
+    halo = _PHASE_HALO
+    n = hp // strip
+    dt = x.dtype
+
+    # space-to-depth into phase-batched view [b*4, hp, wp, c]
+    xp = x.reshape(b, hp, 2, wp, 2, c).transpose(0, 2, 4, 1, 3, 5)
+    xp = xp.reshape(b * 4, hp, wp, c)
+    xpad = jnp.pad(xp, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    xs = jnp.concatenate(
+        [xpad[:, i * strip:i * strip + strip + 2 * halo] for i in range(n)],
+        0)  # [n*b*4, strip+2halo, wp, c], strip-major
+
+    # re-zero rows outside the true image after every conv (the reference
+    # zero-pads each conv fresh at the image border; interior strip halos
+    # hold real neighbour rows and are kept)
+    ridx = jnp.arange(strip + 2 * halo)[None, :] - halo
+    gl = ridx + jnp.arange(n)[:, None] * strip          # global phase row
+    ok = ((gl >= 0) & (gl < hp)).astype(dt)             # [n, rows]
+    m = jnp.repeat(ok, b * 4, axis=0)[:, :, None, None]
+
+    def relu(t):
+        return jax.nn.relu(t) * m
+
+    ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
+    bs = [w[f"dconv{i + 1}"]["bias"].astype(dt) for i in range(5)]
+
+    def grp(s):
+        lo = c + (s - 1) * g if s > 0 else 0
+        hi = lo + (c if s == 0 else g)
+        return jnp.concatenate(
+            [ks[i][:, :, lo:hi, :] for i in range(s, 5)], -1).astype(dt)
+
+    def dconv(src, k):
+        return jax.lax.conv_general_dilated(
+            src, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    yx = dconv(xs, grp(0))
+    r1 = relu(yx[..., 0:g] + bs[0])
+    y1 = dconv(r1, grp(1))
+    r2 = relu(yx[..., g:2 * g] + y1[..., 0:g] + bs[1])
+    y2 = dconv(r2, grp(2))
+    r3 = relu(yx[..., 2 * g:3 * g] + y1[..., g:2 * g] + y2[..., 0:g] + bs[2])
+    y3 = dconv(r3, grp(3))
+    r4 = relu(yx[..., 3 * g:4 * g] + y1[..., 2 * g:3 * g] + y2[..., g:2 * g]
+              + y3[..., 0:g] + bs[3])
+    y4 = dconv(r4, grp(4))
+    r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g] + y2[..., 2 * g:3 * g]
+              + y3[..., g:2 * g] + y4 + bs[4])
+    feat = jnp.concatenate([xs, r1, r2, r3, r4, r5], -1)
+    y = jax.lax.conv_general_dilated(
+        feat, w["bottleneck"]["kernel"].astype(dt), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = xs + jax.nn.relu(y + w["bottleneck"]["bias"].astype(dt))
+
+    # drop halos, restitch strips, invert the phase split
+    out = out[:, halo:halo + strip]
+    out = out.reshape(n, b * 4, strip, wp, c).transpose(1, 0, 2, 3, 4)
+    out = out.reshape(b, 2, 2, hp, wp, c)
+    return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, wd, c)
+
+
 def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto") -> jnp.ndarray:
-    """mode: 'auto' (grouped XLA; pallas if SEGMIF_DRDB_PALLAS=1 on TPU),
-    'grouped', 'pallas', 'naive'."""
+    """mode: 'auto' (phase-strip XLA on TPU when the geometry allows, else
+    grouped XLA; pallas if SEGMIF_DRDB_PALLAS=1 on TPU), 'phase', 'grouped',
+    'pallas', 'naive'."""
     import os
 
     if mode == "naive":
@@ -344,4 +439,13 @@ def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto") -> jnp.ndarray:
         if _on_tpu() and supports(x.shape, x.shape[-1],
                                   w["dconv1"]["kernel"].shape[-1]):
             return drdb_pallas(x, w)
+    if mode == "phase" or (mode == "auto"
+                           and not os.environ.get("SEGMIF_DRDB_NO_PHASE")):
+        from .attention import _on_tpu
+
+        b, h, wd, _ = x.shape
+        if (mode == "phase" or _on_tpu()) and h % 2 == 0 and wd % 2 == 0:
+            strip = _phase_strip_for(h // 2, wd // 2)
+            if strip is not None:
+                return drdb_phase_xla(x, w, strip)
     return drdb_grouped_xla(x, w)

@@ -80,3 +80,22 @@ def test_grouped_gradient_matches_naive(setup):
     for a, b in zip(jax.tree.leaves(gn), jax.tree.leaves(gg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_phase_strips_matches_naive(setup):
+    """Parity-phase decomposition + halo strips is exact (incl. the
+    re-zeroing of intermediates at the true image border)."""
+    x, w = setup  # 96x160 -> phase planes 48x80
+    ref = pd.drdb_xla(x, w)
+    for strip in (48, 24, 12):
+        got = pd.drdb_phase_xla(x, w, strip=strip)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_phase_strip_selection():
+    # 480x640 image -> 240x320 phase planes: largest divisor with
+    # (s + 10) * 320 <= 22400 is 60
+    assert pd._phase_strip_for(240, 320) == 60
+    # giant planes where no strip qualifies -> None (falls back to grouped)
+    assert pd._phase_strip_for(7, 4096) is None
