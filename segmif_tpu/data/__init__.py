@@ -5,12 +5,14 @@ from .datasets import (
     MFNetDataset,
     PairFolderDataset,
     SyntheticFusionDataset,
+    VOCSegDataset,
 )
 from .pipeline import Prefetcher, iterate_eval
 
 __all__ = [
     "AugConfig", "augment_batch", "augment_sample", "photometric_distortion",
     "FusionFolderDataset", "MethodFolderDataset", "MFNetDataset",
-    "PairFolderDataset", "SyntheticFusionDataset", "Prefetcher",
+    "PairFolderDataset", "SyntheticFusionDataset", "VOCSegDataset",
+    "Prefetcher",
     "iterate_eval",
 ]

@@ -207,6 +207,56 @@ class MethodFolderDataset:
         return n, img, label
 
 
+class VOCSegDataset:
+    """Classic PASCAL-VOC-layout segmentation dataset: name list from
+    `<name_list_dir>/<split>.txt`, images in `JPEGImages/`, labels in
+    `SegmentationClassAug/` (reference datasets/voc.py:13-51 — whose
+    VOC12SegDataset never works as shipped because its __init__ is typo'd
+    to `normalize_img__init__`, voc.py:131; this is the working
+    equivalent). `stage='test'` has no labels and returns the image's first
+    channel as a placeholder label, matching the reference (voc.py:48-49).
+
+    Also covers the one-hot class-presence mode of VOC12ClsDataset
+    (voc.py:54-127) via `class_labels(idx, num_classes)`.
+    """
+
+    def __init__(self, root_dir: str | Path,
+                 name_list_dir: Optional[str | Path] = None,
+                 split: str = "train", stage: str = "train",
+                 ignore_index: int = 255):
+        self.root = Path(root_dir)
+        self.img_dir = self.root / "JPEGImages"
+        self.label_dir = self.root / "SegmentationClassAug"
+        self.stage = stage
+        self.ignore_index = ignore_index
+        lst = Path(name_list_dir or self.root) / f"{split}.txt"
+        with open(lst) as f:
+            self.names = [ln.strip().split()[0] for ln in f if ln.strip()]
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int):
+        n = self.names[i]
+        img = _load_image(self.img_dir / f"{n}.jpg", gray_to_rgb=True)
+        if self.stage == "test":
+            label = img[..., 0].astype(np.int32)
+        else:
+            label = _load_label(self.label_dir / f"{n}.png")
+        return n, img, label
+
+    def class_labels(self, i: int, num_classes: int = 21) -> np.ndarray:
+        """One-hot vector of classes present in the mask (ignore_index and
+        out-of-range ids dropped), as in VOC12ClsDataset.__getitem__."""
+        _, _, label = self[i]
+        present = np.unique(label)
+        present = present[(present != self.ignore_index)
+                          & (present < num_classes)]
+        onehot = np.zeros((num_classes,), np.uint8)
+        onehot[present] = 1
+        return onehot
+
+
 class SyntheticFusionDataset:
     """Deterministic procedurally generated IR/VIS/guide/label samples with
     MFNet-like statistics, for tests and benchmarks."""

@@ -126,3 +126,60 @@ def test_synthetic_dataset_deterministic():
     b = ds[0]
     np.testing.assert_array_equal(a[1], b[1])
     assert a[4].min() >= 0 and a[4].max() < 9
+
+
+def test_voc_seg_dataset(tmp_path):
+    """Working classic-VOC layout loader (reference datasets/voc.py is
+    broken as shipped — __init__ typo'd, SURVEY.md 2.8)."""
+    from PIL import Image
+
+    from segmif_tpu.data.datasets import VOCSegDataset
+
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "SegmentationClassAug").mkdir()
+    rng = np.random.default_rng(0)
+    for n in ("a1", "a2"):
+        img = rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / "JPEGImages" / f"{n}.jpg")
+        lab = np.zeros((20, 24), np.uint8)
+        lab[:5] = 3
+        lab[5:8] = 255  # ignore region
+        Image.fromarray(lab).save(tmp_path / "SegmentationClassAug" / f"{n}.png")
+    (tmp_path / "train.txt").write_text("a1\na2\n")
+
+    ds = VOCSegDataset(tmp_path, split="train")
+    assert len(ds) == 2
+    n, img, lab = ds[0]
+    assert n == "a1" and img.shape == (20, 24, 3) and lab.shape == (20, 24)
+    assert set(np.unique(lab)) == {0, 3, 255}
+    onehot = ds.class_labels(0, num_classes=21)
+    assert onehot[3] == 1 and onehot.sum() == 2  # classes {0, 3}; 255 dropped
+
+    ds_test = VOCSegDataset(tmp_path, split="train", stage="test")
+    _, img2, lab2 = ds_test[0]
+    assert lab2.shape == img2.shape[:2]  # placeholder label, no mask read
+
+
+def test_mfnet_dataset(tmp_path):
+    """MFNet split loader: names from <split>.txt, RGBT image split into
+    vis/ir, bilinear image + nearest label resize to the eval size
+    (util/MF_dataset.py:9-47)."""
+    from PIL import Image
+
+    from segmif_tpu.data.datasets import MFNetDataset
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (10, 12, 4), dtype=np.uint8)  # RGBT
+    Image.fromarray(img).save(tmp_path / "images" / "d1.png")
+    lab = rng.integers(0, 9, (10, 12), dtype=np.uint8)
+    Image.fromarray(lab).save(tmp_path / "labels" / "d1.png")
+    (tmp_path / "test_day.txt").write_text("d1\n")
+
+    ds = MFNetDataset(tmp_path, split="test_day", size=(20, 24))
+    assert len(ds) == 1
+    n, ir, vis, label = ds[0]
+    assert ir.shape == (20, 24, 1) and vis.shape == (20, 24, 3)
+    assert label.shape == (20, 24) and label.dtype == np.int32
+    assert set(np.unique(label)).issubset(set(np.unique(lab)))  # nearest
