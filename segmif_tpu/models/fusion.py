@@ -46,6 +46,18 @@ _DENSE_INIT = nn.initializers.truncated_normal(stddev=0.02)
 _CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def _use_strips() -> bool:
+    """Gate for the tail strip-conv path: TPU only (the fast small-plane
+    regime is a TPU conv-lowering property), opt-out via env."""
+    import os
+
+    if os.environ.get("SEGMIF_NO_STRIPS"):
+        return False
+    from ..kernels.attention import _on_tpu
+
+    return _on_tpu()
+
+
 def _prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
@@ -357,15 +369,36 @@ class FusionNetwork(nn.Module):
             x1, x2 = self._interact(x1, x2, s2, ffm, 2, attn_maps)
 
         y = jnp.concatenate([x1, x2], axis=-1)
-        y = _prelu(nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
-                           kernel_init=_CONV_INIT, dtype=self.dtype,
-                           name="conv2")(y), alpha)
-        y = _prelu(nn.Conv(ch // 2, (3, 3), padding=[(1, 1), (1, 1)],
-                           kernel_init=_CONV_INIT, dtype=self.dtype,
-                           name="conv21")(y), alpha)
-        y = _prelu(nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                           kernel_init=_CONV_INIT, dtype=self.dtype,
-                           name="conv22")(y), alpha)
+        conv2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+                        kernel_init=_CONV_INIT, dtype=self.dtype,
+                        name="conv2")
+        conv21 = nn.Conv(ch // 2, (3, 3), padding=[(1, 1), (1, 1)],
+                         kernel_init=_CONV_INIT, dtype=self.dtype,
+                         name="conv21")
+        conv22 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                         kernel_init=_CONV_INIT, dtype=self.dtype,
+                         name="conv22")
+        strip = None
+        if _use_strips():
+            from ..kernels.strips import pick_strip
+
+            strip = pick_strip(y.shape[1], y.shape[2], halo=3)
+        if strip is not None:
+            # fast small-plane conv regime via H halo strips; re-zero rows
+            # outside the true image after each prelu so the next conv sees
+            # the reference's zero padding at the image border
+            from ..kernels.strips import from_strips, to_strips
+
+            b = y.shape[0]
+            ys, m = to_strips(y, strip, halo=3)
+            ys = _prelu(conv2(ys), alpha) * m
+            ys = _prelu(conv21(ys), alpha) * m
+            ys = _prelu(conv22(ys), alpha)
+            y = from_strips(ys, b, strip, halo=3)
+        else:
+            y = _prelu(conv2(y), alpha)
+            y = _prelu(conv21(y), alpha)
+            y = _prelu(conv22(y), alpha)
         if self.return_attention:
             return y, attn_maps
         return y

@@ -99,3 +99,24 @@ def test_phase_strip_selection():
     assert pd._phase_strip_for(240, 320) == 60
     # giant planes where no strip qualifies -> None (falls back to grouped)
     assert pd._phase_strip_for(7, 4096) is None
+
+
+def test_tail_strip_chain_matches_plain(monkeypatch):
+    """The fusion tail's halo-strip conv chain is exact, including the
+    re-zeroing of out-of-image halo rows between convs."""
+    import segmif_tpu.models.fusion as fusion_mod
+    from segmif_tpu.models.fusion import FusionNetwork
+
+    rng = np.random.default_rng(3)
+    ir = jnp.asarray(rng.uniform(size=(1, 48, 64, 1)).astype(np.float32))
+    visy = jnp.asarray(rng.uniform(size=(1, 48, 64, 1)).astype(np.float32))
+    t1 = jnp.asarray(rng.normal(size=(1, 48, 64, 64)).astype(np.float32))
+    t2 = jnp.asarray(rng.normal(size=(1, 48, 64, 128)).astype(np.float32))
+    net = FusionNetwork()
+    variables = net.init(jax.random.PRNGKey(0), ir, visy, t1, t2)
+
+    monkeypatch.setattr(fusion_mod, "_use_strips", lambda: False)
+    ref = net.apply(variables, ir, visy, t1, t2)
+    monkeypatch.setattr(fusion_mod, "_use_strips", lambda: True)
+    got = net.apply(variables, ir, visy, t1, t2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
