@@ -37,8 +37,6 @@ from flax import linen as nn
 from ..kernels.attention import (
     linear_cross_attention_flat,
     linear_ctx_blockdiag,
-    linear_ctx_blockdiag_from_gram,
-    token_gram,
 )
 from ..ops.color import minmax_stretch
 
@@ -198,6 +196,17 @@ class _DenseWeights(nn.Module):
         return k, b
 
 
+class _LayerNormWeights(nn.Module):
+    """Raw LayerNorm scale+bias params (same tree path as nn.LayerNorm)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
 class CrossPath(nn.Module):
     """Gated dual cross-attention exchange (model_fusion.py:329-361).
 
@@ -220,6 +229,33 @@ class CrossPath(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, seg):
         dim = self.dim
+        if self.interaction == "both" and not self.return_context:
+            # folded compute path (kernels/pallas_ffm.py): gather the raw
+            # weights (identical param tree to the modular path below) and
+            # dispatch to the fused Pallas kernel on TPU / folded XLA
+            # elsewhere
+            from ..kernels.pallas_ffm import crosspath_apply
+
+            scale = (dim // self.num_heads)**-0.5
+            w = {}
+            for i, name in ((1, "channel_proj1"), (2, "channel_proj2"),
+                            (3, "channel_proj3")):
+                k, b = _DenseWeights(dim, 2 * dim, name=name)()
+                w[f"wp{i}"], w[f"bp{i}"] = k, b
+            w["wkv3"] = _SegKVWeights(dim, name="cross_attn")()
+            w["wkv1"], w["wkv2"] = _BranchKVWeights(dim, name="cross_attn2")()
+            w["we1"], w["be1"] = _DenseWeights(2 * dim, dim,
+                                               name="end_proj1")()
+            w["we2"], w["be2"] = _DenseWeights(2 * dim, dim,
+                                               name="end_proj2")()
+            w["ln1_scale"], w["ln1_bias"] = _LayerNormWeights(dim,
+                                                              name="norm1")()
+            w["ln2_scale"], w["ln2_bias"] = _LayerNormWeights(dim,
+                                                              name="norm2")()
+            return crosspath_apply(x1.astype(self.dtype),
+                                   x2.astype(self.dtype),
+                                   seg.astype(self.dtype), w, scale,
+                                   self.num_heads)
         y1, u1 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
                                             dtype=self.dtype,
                                             name="channel_proj1")(x1)), 2, -1)
@@ -229,38 +265,6 @@ class CrossPath(nn.Module):
         y3, u3 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
                                             dtype=self.dtype,
                                             name="channel_proj3")(seg)), 2, -1)
-        if self.interaction == "both" and not self.return_context:
-            scale = (dim // self.num_heads)**-0.5
-            wkv3 = _SegKVWeights(dim, name="cross_attn")()
-            wkv1, wkv2 = _BranchKVWeights(dim, name="cross_attn2")()
-            we1, be1 = _DenseWeights(2 * dim, dim, name="end_proj1")()
-            we2, be2 = _DenseWeights(2 * dim, dim, name="end_proj2")()
-            # contexts from grams — K/V never materialized over N tokens
-            bd_s = linear_ctx_blockdiag_from_gram(token_gram(u3), wkv3,
-                                                  scale, self.num_heads)
-            bd_1 = linear_ctx_blockdiag_from_gram(token_gram(y1), wkv1,
-                                                  scale, self.num_heads)
-            bd_2 = linear_ctx_blockdiag_from_gram(token_gram(y2), wkv2,
-                                                  scale, self.num_heads)
-
-            # o_i = concat(z_i, v_i) @ We_i + b_i with z_i = y3 @ bd_i and
-            # v_i = u_i @ bd_s  ==>  fold We_i into the [C, C] contexts
-            def fold(bd, we_half):
-                return (bd @ we_half.astype(jnp.float32)).astype(y3.dtype)
-
-            def out(u_i, bd_i, we, be):
-                o = (jnp.einsum("bnc,bcd->bnd", y3, fold(bd_i, we[:dim]))
-                     + jnp.einsum("bnc,bcd->bnd", u_i, fold(bd_s, we[dim:]))
-                     + be.astype(y3.dtype))
-                return o
-
-            o1 = out(u1, bd_1, we1, be1)
-            o2 = out(u2, bd_2, we2, be2)
-            o1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                              name="norm1")(x1 + o1)
-            o2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                              name="norm2")(x2 + o2)
-            return o1, o2
         ctx = None
         if self.interaction == "both":
             if self.return_context:

@@ -97,3 +97,61 @@ def test_supports_shape_gate():
     assert pa.supports((1, 300, 8, 64), (1, 300, 8, 64))
     # giant unreduced KV would blow VMEM -> falls back
     assert not pa.supports((1, 19200, 1, 64), (1, 19200, 1, 64))
+
+
+def _crosspath_pair(seed=0, b=2, n=192, c=64):
+    from segmif_tpu.models.fusion import CrossPath
+
+    rng = np.random.default_rng(seed)
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    fast = CrossPath(c, num_heads=8, interaction="both")
+    variables = fast.init(jax.random.PRNGKey(seed), x1, x2, s)
+    return fast, variables, (x1, x2, s)
+
+
+def test_crosspath_folded_matches_modular():
+    """The folded pure-function CrossPath equals the modular attention path
+    (same params; the modular path runs under return_context=True)."""
+    from segmif_tpu.models.fusion import CrossPath
+
+    fast, variables, (x1, x2, s) = _crosspath_pair()
+    o1f, o2f = fast.apply(variables, x1, x2, s)
+    modular = CrossPath(64, num_heads=8, interaction="both",
+                        return_context=True)
+    o1m, o2m, _ = modular.apply(variables, x1, x2, s)
+    np.testing.assert_allclose(np.asarray(o1f), np.asarray(o1m), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o2f), np.asarray(o2m), atol=2e-5)
+
+
+def test_crosspath_pallas_interpret_matches_folded(monkeypatch):
+    """Two-pass Pallas FFM (interpret mode) == folded XLA, fwd exactness
+    incl. a token count that doesn't divide the tile."""
+    from segmif_tpu.kernels import pallas_ffm as pf
+
+    fast, variables, (x1, x2, s) = _crosspath_pair(n=200)
+    ref1, ref2 = fast.apply(variables, x1, x2, s)
+
+    orig = pf.pl.pallas_call
+    monkeypatch.setattr(pf.pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(pf, "TILE_N", 64)
+    w = {**variables["params"]["channel_proj1"]}
+    p = variables["params"]
+    wd = {
+        "wp1": p["channel_proj1"]["kernel"], "bp1": p["channel_proj1"]["bias"],
+        "wp2": p["channel_proj2"]["kernel"], "bp2": p["channel_proj2"]["bias"],
+        "wp3": p["channel_proj3"]["kernel"], "bp3": p["channel_proj3"]["bias"],
+        "wkv3": p["cross_attn"]["kv_seg"]["kernel"],
+        "wkv1": p["cross_attn2"]["kv1"]["kernel"],
+        "wkv2": p["cross_attn2"]["kv2"]["kernel"],
+        "we1": p["end_proj1"]["kernel"], "be1": p["end_proj1"]["bias"],
+        "we2": p["end_proj2"]["kernel"], "be2": p["end_proj2"]["bias"],
+        "ln1_scale": p["norm1"]["scale"], "ln1_bias": p["norm1"]["bias"],
+        "ln2_scale": p["norm2"]["scale"], "ln2_bias": p["norm2"]["bias"],
+    }
+    scale = (64 // 8)**-0.5
+    g1, g2 = pf._crosspath_fused_impl(x1, x2, s, wd, scale, 8)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(ref1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(ref2), atol=3e-5)
