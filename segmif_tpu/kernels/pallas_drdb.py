@@ -330,57 +330,118 @@ def drdb_grouped_xla(x: jnp.ndarray, w: Dict,
     return x + jax.nn.relu(y + w["bottleneck"]["bias"].astype(x.dtype))
 
 
-def _phase_strip_for(hp: int, wp: int) -> int | None:
-    """Pick an H-strip size for the phase formulation: measured v5e fast
-    regime needs (strip + 2*halo) * wp <= ~20k px/plane; strip must divide
-    the phase height. Prefers the largest qualifying divisor (fewer strips =
-    less halo waste)."""
-    best = None
-    for s in range(16, hp + 1):
-        if hp % s:
-            continue
-        if (s + 2 * _PHASE_HALO) * wp <= 22400:
-            best = s
-    return best
-
-
-_PHASE_HALO = 5  # 5 dil-1 convs after the phase split, reach 1 each
-
-
-def drdb_phase_xla(x: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
-    """EXACT DRDB via parity phase decomposition + H halo strips.
-
-    A dilated(2) conv never mixes 2x2 pixel-parity phases, so the whole
-    DRDB chain (dil-2 convs, relu, concat, 1x1 bottleneck, residual) is
-    phase-separable: space-to-depth the image into 4 phase planes batched
-    along N and run the SAME weights as dilation-1 convs at half resolution.
-    The phase planes are then cut into `strip`-row halo strips so each conv
-    runs in XLA's fast small-plane regime (~1.7x on v5e at 480x640; see
-    OPTIMIZATION.md). Intermediates are re-zeroed outside the true image so
-    borders match the reference's per-conv zero padding exactly.
-    """
+def phase_split(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, 4, H/2, W/2, C] pixel-parity phase planes
+    (phase index p = 2*row_parity + col_parity)."""
     b, h, wd, c = x.shape
-    g = w["dconv1"]["kernel"].shape[-1]
     hp, wp = h // 2, wd // 2
-    halo = _PHASE_HALO
-    n = hp // strip
-    dt = x.dtype
-
-    # space-to-depth into phase-batched view [b*4, hp, wp, c]
     xp = x.reshape(b, hp, 2, wp, 2, c).transpose(0, 2, 4, 1, 3, 5)
-    xp = xp.reshape(b * 4, hp, wp, c)
-    xpad = jnp.pad(xp, ((0, 0), (halo, halo), (0, 0), (0, 0)))
-    xs = jnp.concatenate(
-        [xpad[:, i * strip:i * strip + strip + 2 * halo] for i in range(n)],
-        0)  # [n*b*4, strip+2halo, wp, c], strip-major
+    return xp.reshape(b, 4, hp, wp, c)
 
-    # re-zero rows outside the true image after every conv (the reference
-    # zero-pads each conv fresh at the image border; interior strip halos
-    # hold real neighbour rows and are kept)
-    ridx = jnp.arange(strip + 2 * halo)[None, :] - halo
-    gl = ridx + jnp.arange(n)[:, None] * strip          # global phase row
-    ok = ((gl >= 0) & (gl < hp)).astype(dt)             # [n, rows]
-    m = jnp.repeat(ok, b * 4, axis=0)[:, :, None, None]
+
+def phase_merge(xp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of phase_split: [B, 4, hp, wp, C] -> [B, 2*hp, 2*wp, C]."""
+    b, _, hp, wp, c = xp.shape
+    out = xp.reshape(b, 2, 2, hp, wp, c)
+    return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, 2 * hp, 2 * wp, c)
+
+
+def strip_row_mask(b: int, n: int, strip: int, halo: int,
+                   hp: int) -> jnp.ndarray:
+    """In-image row mask [B*4*n, rows, 1, 1] (f32) for phase halo strips:
+    0 on rows beyond the true image top/bottom, 1 elsewhere (incl. interior
+    halo rows, which hold real neighbour data)."""
+    rows = strip + 2 * halo
+    ridx = jnp.arange(rows)[None, :] - halo
+    gl = ridx + jnp.arange(n)[:, None] * strip
+    ok = ((gl >= 0) & (gl < hp)).astype(jnp.float32)          # [n, rows]
+    m = jnp.broadcast_to(ok[None, None], (b, 4, n, rows))
+    return m.reshape(b * 4 * n, rows, 1, 1)
+
+
+def _phase_strips(xp: jnp.ndarray, strip: int, halo: int):
+    """[B, 4, hp, wp, C] -> halo-extended H-strips [B*4*n, strip+2*halo, wp,
+    C] plus the in-image row mask [B*4*n, rows, 1, 1] (f32). Row-window
+    gathers only — no phase transposes."""
+    b, _, hp, wp, c = xp.shape
+    n = hp // strip
+    rows = strip + 2 * halo
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (halo, halo), (0, 0), (0, 0)))
+    xs = jnp.stack(
+        [xpad[:, :, i * strip:i * strip + rows] for i in range(n)],
+        2)  # [B, 4, n, rows, wp, C]
+    xs = xs.reshape(b * 4 * n, rows, wp, c)
+    return xs, strip_row_mask(b, n, strip, halo, hp)
+
+
+def _strips_phase(ys: jnp.ndarray, b: int, strip: int, halo: int):
+    """Inverse of _phase_strips (drops halos): [B*4*n, rows, wp, C] ->
+    [B, 4, hp, wp, C]."""
+    rows = ys.shape[1]
+    wp, c = ys.shape[2], ys.shape[3]
+    n = ys.shape[0] // (b * 4)
+    out = ys[:, halo:halo + strip]
+    return out.reshape(b, 4, n * strip, wp, c)
+
+
+def split_strips(x: jnp.ndarray, strip: int, halo: int):
+    """[B, H, W, C] image -> DRDB-ready phase halo strips
+    ([B*4*n, rows, wp, C], in-image row mask). The strip-persistent trunk's
+    entry transform (models/fusion.py)."""
+    return _phase_strips(phase_split(x), strip, halo)
+
+
+def merge_strips(ys: jnp.ndarray, b: int, strip: int, halo: int):
+    """Inverse of split_strips (drops halo rows)."""
+    return phase_merge(_strips_phase(ys, b, strip, halo))
+
+
+def owned_token_weight(b: int, n: int, strip: int, halo: int, wp: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """[1, 4*n*rows*wp] token weight that selects each image pixel exactly
+    once from the flattened strip layout [B, (4, n, rows, wp), C]: 1 on a
+    strip's owned rows [halo, halo+strip), 0 on halo rows. Used to make the
+    FFM's gram reductions exact on strip-layout tokens."""
+    rows = strip + 2 * halo
+    r = jnp.arange(rows)
+    owned = ((r >= halo) & (r < halo + strip)).astype(dtype)      # [rows]
+    w = jnp.broadcast_to(owned[None, :, None], (n, rows, wp))
+    return jnp.broadcast_to(w[None], (4, n, rows, wp)).reshape(1, -1)
+
+
+def refresh_strip_halos(xs: jnp.ndarray, b: int, strip: int,
+                        halo: int) -> jnp.ndarray:
+    """Rebuild the halo rows of every strip from its neighbours' OWNED rows
+    (zero beyond the image top/bottom). Cheap: only 2*halo rows per strip
+    are rewritten. Needed before a conv consumer whenever the halo rows are
+    stale (after a DRDB's 5 convs, or after per-token ops ran on stale
+    halos)."""
+    rows = xs.shape[1]
+    wp, c = xs.shape[2], xs.shape[3]
+    n = xs.shape[0] // (b * 4)
+    x6 = xs.reshape(b, 4, n, rows, wp, c)
+    owned = x6[:, :, :, halo:halo + strip]
+    z = jnp.zeros((b, 4, 1, halo, wp, c), xs.dtype)
+    top = jnp.concatenate([z, owned[:, :, :n - 1, strip - halo:]], axis=2)
+    bot = jnp.concatenate([owned[:, :, 1:, :halo], z], axis=2)
+    x6 = x6.at[:, :, :, :halo].set(top)
+    x6 = x6.at[:, :, :, halo + strip:].set(bot)
+    return x6.reshape(xs.shape)
+
+
+def drdb_strips_core(xs: jnp.ndarray, w: Dict,
+                     m: jnp.ndarray) -> jnp.ndarray:
+    """DRDB conv chain on halo strips [B*4*n, rows, wp, C] with in-image row
+    mask m (re-zeroes activations outside the TRUE image after each conv,
+    reproducing the reference's per-conv zero padding; interior strip halos
+    keep real neighbour rows). Returns strips of the same shape; the outer
+    `halo` rows lose one row of validity per conv (stale after 5) — callers
+    either drop them (_strips_phase) or refresh them (refresh_strip_halos)
+    before the next conv consumer."""
+    g = w["dconv1"]["kernel"].shape[-1]
+    c = xs.shape[-1]
+    dt = xs.dtype
+    m = m.astype(dt)
 
     def relu(t):
         return jax.nn.relu(t) * m
@@ -411,17 +472,70 @@ def drdb_phase_xla(x: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
     y4 = dconv(r4, grp(4))
     r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g] + y2[..., 2 * g:3 * g]
               + y3[..., g:2 * g] + y4 + bs[4])
+    # NOTE: distributing the 1x1 bottleneck over the concat sources (6 small
+    # convs, no [*, rows, wp, 224] buffer) was measured SLOWER on v5e
+    # (+8 ms/DRDB: the K=32 convs each pay the per-conv floor and f32
+    # accumulators add traffic) — the explicit concat stays.
     feat = jnp.concatenate([xs, r1, r2, r3, r4, r5], -1)
     y = jax.lax.conv_general_dilated(
         feat, w["bottleneck"]["kernel"].astype(dt), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    out = xs + jax.nn.relu(y + w["bottleneck"]["bias"].astype(dt))
+    return xs + jax.nn.relu(y + w["bottleneck"]["bias"].astype(dt))
 
-    # drop halos, restitch strips, invert the phase split
-    out = out[:, halo:halo + strip]
-    out = out.reshape(n, b * 4, strip, wp, c).transpose(1, 0, 2, 3, 4)
-    out = out.reshape(b, 2, 2, hp, wp, c)
-    return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, wd, c)
+
+def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
+    """DRDB on an already phase-split tensor [B, 4, hp, wp, C] (strip/halo
+    handling internal; only cheap row-window gathers touch HBM layout).
+    EXACT: same math as drdb_xla on the merged image, incl. the reference's
+    per-conv zero padding at the true image border."""
+    b = xp.shape[0]
+    halo = _PHASE_HALO
+    xs, m = _phase_strips(xp, strip, halo)
+    out = drdb_strips_core(xs, w, m)
+    return _strips_phase(out, b, strip, halo)
+
+
+def drdb_apply_phase(xp: jnp.ndarray, w: Dict) -> jnp.ndarray:
+    """DRDB for phase-layout tensors [B, 4, hp, wp, C] (the persistent
+    phase-trunk path in models/fusion.py). Falls back through image space
+    when no qualifying strip divides the phase height."""
+    hp, wp = xp.shape[2], xp.shape[3]
+    strip = _phase_strip_for(hp, wp)
+    if strip is not None:
+        return drdb_phase_core(xp, w, strip)
+    return phase_split(drdb_apply(phase_merge(xp), w))
+
+
+def _phase_strip_for(hp: int, wp: int) -> int | None:
+    """Pick an H-strip size for the phase formulation: measured v5e fast
+    regime needs (strip + 2*halo) * wp <= ~20k px/plane; strip must divide
+    the phase height. Prefers the largest qualifying divisor (fewer strips =
+    less halo waste)."""
+    best = None
+    for s in range(16, hp + 1):
+        if hp % s:
+            continue
+        if (s + 2 * _PHASE_HALO) * wp <= 22400:
+            best = s
+    return best
+
+
+_PHASE_HALO = 5  # 5 dil-1 convs after the phase split, reach 1 each
+
+
+def drdb_phase_xla(x: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
+    """EXACT DRDB via parity phase decomposition + H halo strips.
+
+    A dilated(2) conv never mixes 2x2 pixel-parity phases, so the whole
+    DRDB chain (dil-2 convs, relu, concat, 1x1 bottleneck, residual) is
+    phase-separable: space-to-depth the image into 4 phase planes batched
+    along N and run the SAME weights as dilation-1 convs at half resolution.
+    The phase planes are then cut into `strip`-row halo strips so each conv
+    runs in XLA's fast small-plane regime (~1.7x on v5e at 480x640; see
+    OPTIMIZATION.md). Intermediates are re-zeroed outside the true image so
+    borders match the reference's per-conv zero padding exactly.
+    """
+    return phase_merge(drdb_phase_core(phase_split(x), w, strip))
 
 
 def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto") -> jnp.ndarray:

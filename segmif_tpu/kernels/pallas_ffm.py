@@ -57,15 +57,26 @@ def _round_up(x: int, m: int) -> int:
 
 # ---------------------------------------------------------------- folded XLA
 
-def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int):
+def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
+                         token_weight=None):
     """Pure-function folded CrossPath ('both' interaction), the ground truth
     for the Pallas path and its backward. x1, x2, s: [B, N, C] (C = dim);
-    w: raw weight dict (see CrossPath module)."""
+    w: raw weight dict (see CrossPath module).
+
+    token_weight ([1|B, N], optional, 0/1): rows with weight 0 are dropped
+    from the relu projections (fused into the proj elementwise chain, so
+    the gram reductions count each image pixel exactly once); their OUTPUT
+    rows become meaningless (bias-only) — callers must refresh or drop such
+    rows afterwards (the strip-persistent fusion trunk's halo rows are)."""
     dim = x1.shape[-1]
     dt = x1.dtype
+    tw = (None if token_weight is None
+          else token_weight[..., None].astype(dt))
 
     def proj(x, i):
         r = jax.nn.relu(x @ w[f"wp{i}"].astype(dt) + w[f"bp{i}"].astype(dt))
+        if tw is not None:
+            r = r * tw
         return r[..., :dim], r[..., dim:]
 
     y1, u1 = proj(x1, 1)
@@ -300,7 +311,8 @@ def _bwd(scale, num_heads, res, g):
 crosspath_fused.defvjp(_fwd, _bwd)
 
 
-def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int):
+def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int,
+                    token_weight=None):
     """Dispatcher. DEFAULT IS THE FOLDED XLA PATH — measured on v5e at
     B=2, N=307200 (in-graph scan): folded XLA 2.65 ms/round vs fused
     Pallas 5.0 ms (pass A 3.3 / pass B 3.5 ms across TILE_N 512..4096),
@@ -313,6 +325,7 @@ def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int):
 
     from .attention import _on_tpu
 
-    if os.environ.get("SEGMIF_FFM_PALLAS") and _on_tpu():
+    if (token_weight is None and os.environ.get("SEGMIF_FFM_PALLAS")
+            and _on_tpu()):
         return crosspath_fused(x1, x2, s, w, scale, num_heads)
-    return crosspath_folded_xla(x1, x2, s, w, scale, num_heads)
+    return crosspath_folded_xla(x1, x2, s, w, scale, num_heads, token_weight)

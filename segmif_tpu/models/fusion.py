@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -42,6 +43,29 @@ from ..ops.color import minmax_stretch
 
 _DENSE_INIT = nn.initializers.truncated_normal(stddev=0.02)
 _CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _use_phase_trunk(h: int, w: int) -> bool:
+    """Gate for the phase-persistent fusion trunk: the DRDBs' expensive
+    phase transposes are hoisted to ONE split per trunk input and ONE merge
+    before the tail (the FFM rounds and 1x1 projections are token-order-
+    invariant, so they run directly on phase planes). TPU-only by default
+    (where the phase/strip conv regime wins; see OPTIMIZATION.md);
+    SEGMIF_FORCE_PHASE_TRUNK=1 forces it on for CPU parity tests,
+    SEGMIF_NO_PHASE_TRUNK=1 disables."""
+    import os
+
+    if os.environ.get("SEGMIF_NO_PHASE_TRUNK") or h % 2 or w % 2:
+        return False
+    from ..kernels.pallas_drdb import _phase_strip_for
+
+    if _phase_strip_for(h // 2, w // 2) is None:
+        return False
+    if os.environ.get("SEGMIF_FORCE_PHASE_TRUNK"):
+        return True
+    from ..kernels.attention import _on_tpu
+
+    return _on_tpu()
 
 
 def _use_strips() -> bool:
@@ -88,8 +112,13 @@ class DRDB(nn.Module):
     mode: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..kernels.pallas_drdb import drdb_apply
+    def __call__(self, x: jnp.ndarray, layout: str = "image",
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """layout: 'image' [B,H,W,C] | 'phase' [B,4,hp,wp,C] |
+        'strips' [B*4*n, rows, wp, C] (with `mask` = in-image row mask,
+        fresh halos expected; see kernels.pallas_drdb.drdb_strips_core)."""
+        from ..kernels.pallas_drdb import (drdb_apply, drdb_apply_phase,
+                                           drdb_strips_core)
 
         w = {}
         cin = self.channels
@@ -100,6 +129,10 @@ class DRDB(nn.Module):
             cin += self.growth_rate
         k, b = _ConvWeights(cin, self.channels, 1, name="bottleneck")()
         w["bottleneck"] = {"kernel": k, "bias": b}
+        if layout == "strips":
+            return drdb_strips_core(x.astype(self.dtype), w, mask)
+        if layout == "phase":
+            return drdb_apply_phase(x.astype(self.dtype), w)
         return drdb_apply(x.astype(self.dtype), w, self.mode)
 
 
@@ -227,7 +260,7 @@ class CrossPath(nn.Module):
     return_context: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, seg):
+    def __call__(self, x1, x2, seg, token_weight=None):
         dim = self.dim
         if self.interaction == "both" and not self.return_context:
             # folded compute path (kernels/pallas_ffm.py): gather the raw
@@ -255,7 +288,10 @@ class CrossPath(nn.Module):
             return crosspath_apply(x1.astype(self.dtype),
                                    x2.astype(self.dtype),
                                    seg.astype(self.dtype), w, scale,
-                                   self.num_heads)
+                                   self.num_heads, token_weight)
+        if token_weight is not None:
+            raise NotImplementedError(
+                "token_weight requires the folded 'both' path")
         y1, u1 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
                                             dtype=self.dtype,
                                             name="channel_proj1")(x1)), 2, -1)
@@ -308,17 +344,22 @@ class FeatureFusionModule(nn.Module):
     return_context: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, seg):
-        b, h, w, c = x1.shape
-        t1 = x1.reshape(b, h * w, c)
-        t2 = x2.reshape(b, h * w, c)
+    def __call__(self, x1, x2, seg, token_weight=None):
+        # shape-agnostic token flattening: works for image [B, H, W, C],
+        # phase [B, 4, hp, wp, C], and strip [B, 4, n, rows, wp, C] layouts
+        # alike (the attention math is token-order-invariant; strip layouts
+        # pass token_weight to keep the gram reductions exact over the
+        # duplicated/stale halo rows)
+        shp = x1.shape
+        b, c = shp[0], shp[-1]
+        t1 = x1.reshape(b, -1, c)
+        t2 = x2.reshape(b, -1, c)
         ts = seg.reshape(b, -1, seg.shape[-1])
         out = CrossPath(self.dim, self.num_heads, self.interaction,
                         self.dtype, self.return_context,
-                        name="cross")(t1, t2, ts)
-        t1, t2 = out[0], out[1]
-        t1 = t1.reshape(b, h, w, c)
-        t2 = t2.reshape(b, h, w, c)
+                        name="cross")(t1, t2, ts, token_weight)
+        t1 = out[0].reshape(shp)
+        t2 = out[1].reshape(shp)
         if self.return_context:
             return t1, t2, out[2]
         return t1, t2
@@ -354,25 +395,97 @@ class FusionNetwork(nn.Module):
                                       self.dtype, self.return_attention,
                                       name="ffm")
         attn_maps = []
+        # Strip-persistent trunk (TPU): ONE phase+strip split per trunk
+        # input; the DRDBs run directly on phase halo strips (the fast conv
+        # regime, no per-DRDB layout transforms), the FFM rounds run on the
+        # strip tokens with an owned-row gram weight (exact — each image
+        # pixel counted once), halos are refreshed between DRDBs by cheap
+        # row copies, and ONE merge feeds the dil-1 tail. moam/soam use the
+        # plain phase-plane trunk (their modular attention has no gram
+        # weight); return_attention falls back to image space.
+        import os
+
+        trunk = "image"
+        if not self.return_attention and _use_phase_trunk(ir.shape[1],
+                                                          ir.shape[2]):
+            # 'strips' (FFM on strip tokens, no plane<->strip transitions)
+            # measured SLOWER than 'phase' on v5e — the larger masked token
+            # set costs more than the transitions saved (OPTIMIZATION.md);
+            # kept as an opt-in for future revisits
+            trunk = ("strips" if (os.environ.get("SEGMIF_STRIPS_TRUNK")
+                                  and self.interaction not in ("moam", "soam"))
+                     else "phase")
+        if trunk != "image":
+            from ..kernels.pallas_drdb import (
+                _PHASE_HALO, _phase_strip_for, merge_strips,
+                owned_token_weight, phase_merge, phase_split,
+                refresh_strip_halos, split_strips, strip_row_mask)
+        tw = mask = None
+        if trunk == "strips":
+            b, hh, ww = ir.shape[0], ir.shape[1], ir.shape[2]
+            hp, wp = hh // 2, ww // 2
+            strip = _phase_strip_for(hp, wp)
+            halo = _PHASE_HALO
+            n_strips = hp // strip
+            rows = strip + 2 * halo
+            tw = owned_token_weight(b, n_strips, strip, halo, wp, jnp.float32)
+            mask = strip_row_mask(b, n_strips, strip, halo, hp)
+
+        def to_trunk(t):
+            if trunk == "strips":
+                return split_strips(t, strip, halo)[0]
+            if trunk == "phase":
+                return phase_split(t)
+            return t
+
+        def img6(t):
+            # strips flat [B*4*n, rows, wp, C] -> per-image [B, ...] view
+            # for the token-level FFM (free reshape)
+            if trunk == "strips":
+                return t.reshape(b, 4, n_strips, rows, wp, t.shape[-1])
+            return t
+
+        def flat4(t):
+            if trunk == "strips":
+                return t.reshape(b * 4 * n_strips, rows, wp, t.shape[-1])
+            return t
+
+        # NOTE: computing conv1 directly into phase layout as 4 offset
+        # stride-2 convs was measured SLOWER on v5e than conv + split (XLA
+        # fuses the phase transpose into the conv's output write): 4.6 vs
+        # 2.8 ms standalone — keep the straightforward form.
         x1 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
                      dtype=self.dtype, name="conv1_ir")(ir[..., 0:1])
-        x1 = DRDB(ch, dtype=self.dtype, name="drdb1")(_prelu(x1, alpha))
+        x1 = to_trunk(_prelu(x1, alpha))
         x2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
                      dtype=self.dtype, name="conv1_vis")(vis_y[..., 0:1])
-        x2 = DRDB(ch, dtype=self.dtype, name="drdb2")(_prelu(x2, alpha))
+        x2 = to_trunk(_prelu(x2, alpha))
+        x1 = DRDB(ch, dtype=self.dtype, name="drdb1")(x1, trunk, mask)
+        x2 = DRDB(ch, dtype=self.dtype, name="drdb2")(x2, trunk, mask)
 
         if self.interaction != "none":
             s1 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="seg_proj1")(seg_tap1)
-            x1, x2 = self._interact(x1, x2, s1, ffm, 1, attn_maps)
-        x1 = DRDB(ch, dtype=self.dtype, name="drdb3")(x1)
-        x2 = DRDB(ch, dtype=self.dtype, name="drdb4")(x2)
+            x1, x2 = self._interact(img6(x1), img6(x2), img6(to_trunk(s1)),
+                                    ffm, 1, attn_maps, tw)
+            x1, x2 = flat4(x1), flat4(x2)
+        if trunk == "strips":
+            x1 = refresh_strip_halos(x1, b, strip, halo)
+            x2 = refresh_strip_halos(x2, b, strip, halo)
+        x1 = DRDB(ch, dtype=self.dtype, name="drdb3")(x1, trunk, mask)
+        x2 = DRDB(ch, dtype=self.dtype, name="drdb4")(x2, trunk, mask)
         if self.interaction != "none":
             s2 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="seg_proj2")(seg_tap2)
-            x1, x2 = self._interact(x1, x2, s2, ffm, 2, attn_maps)
+            x1, x2 = self._interact(img6(x1), img6(x2), img6(to_trunk(s2)),
+                                    ffm, 2, attn_maps, tw)
+            x1, x2 = flat4(x1), flat4(x2)
 
         y = jnp.concatenate([x1, x2], axis=-1)
+        if trunk == "strips":
+            y = merge_strips(y, b, strip, halo)
+        elif trunk == "phase":
+            y = phase_merge(y)
         conv2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
                         kernel_init=_CONV_INIT, dtype=self.dtype,
                         name="conv2")
@@ -407,23 +520,34 @@ class FusionNetwork(nn.Module):
             return y, attn_maps
         return y
 
-    def _interact(self, x1, x2, s, ffm, round_idx, attn_maps):
+    def _interact(self, x1, x2, s, ffm, round_idx, attn_maps,
+                  token_weight=None):
         if self.interaction in ("both", "moam", "soam"):
+            import os
+
+            if os.environ.get("SEGMIF_FFM_BARRIER"):
+                # keep XLA from fusing the surrounding layout transforms
+                # into the FFM matmuls (experiment; see OPTIMIZATION.md)
+                x1, x2, s = jax.lax.optimization_barrier((x1, x2, s))
             # weight-shared FFM across both rounds — the reference reuses
             # self.ffm and never calls ffm2 (model_fusion.py:1058,1061)
-            out = ffm(x1, x2, s)
+            out = ffm(x1, x2, s, token_weight)
+            if os.environ.get("SEGMIF_FFM_BARRIER"):
+                out = jax.lax.optimization_barrier(out)
             if self.return_attention:
                 attn_maps.append(out[2])
                 return out[0], out[1]
             return out
         if self.interaction == "concat":
+            shp = x1.shape  # phase layout is rank-5; convs want rank-4
+            flat = (lambda t: t.reshape((-1,) + shp[-3:-1] + (t.shape[-1],)))
             f1 = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
                          dtype=self.dtype, name=f"cat_proj1_r{round_idx}")(
-                jnp.concatenate([x1, s], axis=-1))
+                flat(jnp.concatenate([x1, s], axis=-1)))
             f2 = nn.Conv(self.channels, (1, 1), kernel_init=_CONV_INIT,
                          dtype=self.dtype, name=f"cat_proj2_r{round_idx}")(
-                jnp.concatenate([x2, s], axis=-1))
-            return f1, f2
+                flat(jnp.concatenate([x2, s], axis=-1)))
+            return f1.reshape(shp), f2.reshape(shp)
         if self.interaction == "add":
             return x1 + s, x2 + s
         raise ValueError(f"unknown interaction {self.interaction!r}")

@@ -120,3 +120,21 @@ def test_tail_strip_chain_matches_plain(monkeypatch):
     monkeypatch.setattr(fusion_mod, "_use_strips", lambda: True)
     got = net.apply(variables, ir, visy, t1, t2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_phase_split_merge_roundtrip():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 12, 20, 5)).astype(np.float32))
+    xp = pd.phase_split(x)
+    assert xp.shape == (2, 4, 6, 10, 5)
+    np.testing.assert_array_equal(np.asarray(pd.phase_merge(xp)),
+                                  np.asarray(x))
+
+
+def test_drdb_phase_core_matches_naive(setup):
+    """The persistent phase-layout DRDB (strips internal) is exact vs the
+    naive chain, including the zero-pad border semantics."""
+    x, w = setup
+    ref = pd.drdb_xla(x, w)
+    got = pd.phase_merge(pd.drdb_apply_phase(pd.phase_split(x), w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -134,3 +134,25 @@ def test_joint_pipeline_single_graph():
     assert logits.shape == (1, 16, 16, 9)
     assert float(jnp.min(fused_rgb)) >= 0.0
     assert float(jnp.max(fused_rgb)) <= 1.0
+
+
+@pytest.mark.parametrize("interaction", ["both", "none", "concat", "add"])
+def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
+                                                        monkeypatch):
+    """The phase-persistent trunk (split once -> DRDB/FFM on phase planes ->
+    merge once) is numerically the image-space pipeline."""
+    from segmif_tpu.models.fusion import FusionNetwork
+
+    rng = np.random.default_rng(11)
+    ir = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    vis = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    tap1 = jnp.asarray(rng.normal(size=(2, 48, 64, 16)).astype(np.float32))
+    tap2 = jnp.asarray(rng.normal(size=(2, 48, 64, 24)).astype(np.float32))
+    m = FusionNetwork(channels=16, num_heads=4, interaction=interaction)
+    params = m.init(KEY, ir, vis, tap1, tap2)
+
+    monkeypatch.delenv("SEGMIF_FORCE_PHASE_TRUNK", raising=False)
+    ref = m.apply(params, ir, vis, tap1, tap2)
+    monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
+    got = m.apply(params, ir, vis, tap1, tap2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
