@@ -32,6 +32,9 @@ def main(argv=None):
                         "synthetic images)")
     p.add_argument("--start_round", type=int, default=1,
                    help="resume from this round (loads checkpoints)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/fusion blocks in training "
+                        "(recompute-for-HBM; for full-res large batches)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
     args = p.parse_args(argv)
@@ -62,6 +65,8 @@ def main(argv=None):
     if args.crop_size:
         cfg.fusion.crop_size = args.crop_size
         cfg.data.crop_size = args.crop_size
+    if args.remat:
+        cfg.remat = True
     cfg.mesh_data = args.mesh_data
     cfg.mesh_model = args.mesh_model
 

@@ -86,6 +86,9 @@ class TrainConfig:
     dump_fused_images: bool = False    # optional PNG dump for inspection
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    remat: bool = False   # rematerialize encoder blocks + fusion DRDB/FFM in
+                          # the train steps (recompute-for-HBM; needed for
+                          # full-res large-batch training, see OPTIMIZATION.md)
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     fusion: FusionPhaseConfig = dataclasses.field(default_factory=FusionPhaseConfig)
     seg: SegPhaseConfig = dataclasses.field(default_factory=SegPhaseConfig)

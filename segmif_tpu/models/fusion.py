@@ -381,19 +381,25 @@ class FusionNetwork(nn.Module):
     interaction: str = "both"
     dtype: jnp.dtype = jnp.float32
     return_attention: bool = False  # Fusion_Network3_obtainattention parity
+    remat: bool = False  # rematerialize DRDBs + FFM rounds under grad
+                         # (the dense-growth activations dominate training
+                         # HBM at full resolution; see OPTIMIZATION.md)
 
     @nn.compact
     def __call__(self, ir, vis_y, seg_tap1: Optional[jnp.ndarray] = None,
                  seg_tap2: Optional[jnp.ndarray] = None):
         ch = self.channels
         alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,))
+        drdb_cls = (nn.remat(DRDB, static_argnums=(2,)) if self.remat
+                    else DRDB)
+        ffm_cls = (nn.remat(FeatureFusionModule) if self.remat
+                   else FeatureFusionModule)
         # one FFM instance called at both interaction rounds = weight sharing,
         # the reference's (quirky but behavior-defining) layout
         ffm = None
         if self.interaction in ("both", "moam", "soam"):
-            ffm = FeatureFusionModule(ch, self.num_heads, self.interaction,
-                                      self.dtype, self.return_attention,
-                                      name="ffm")
+            ffm = ffm_cls(ch, self.num_heads, self.interaction,
+                          self.dtype, self.return_attention, name="ffm")
         attn_maps = []
         # Strip-persistent trunk (TPU): ONE phase+strip split per trunk
         # input; the DRDBs run directly on phase halo strips (the fast conv
@@ -460,8 +466,8 @@ class FusionNetwork(nn.Module):
         x2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
                      dtype=self.dtype, name="conv1_vis")(vis_y[..., 0:1])
         x2 = to_trunk(_prelu(x2, alpha))
-        x1 = DRDB(ch, dtype=self.dtype, name="drdb1")(x1, trunk, mask)
-        x2 = DRDB(ch, dtype=self.dtype, name="drdb2")(x2, trunk, mask)
+        x1 = drdb_cls(ch, dtype=self.dtype, name="drdb1")(x1, trunk, mask)
+        x2 = drdb_cls(ch, dtype=self.dtype, name="drdb2")(x2, trunk, mask)
 
         if self.interaction != "none":
             s1 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
@@ -472,8 +478,8 @@ class FusionNetwork(nn.Module):
         if trunk == "strips":
             x1 = refresh_strip_halos(x1, b, strip, halo)
             x2 = refresh_strip_halos(x2, b, strip, halo)
-        x1 = DRDB(ch, dtype=self.dtype, name="drdb3")(x1, trunk, mask)
-        x2 = DRDB(ch, dtype=self.dtype, name="drdb4")(x2, trunk, mask)
+        x1 = drdb_cls(ch, dtype=self.dtype, name="drdb3")(x1, trunk, mask)
+        x2 = drdb_cls(ch, dtype=self.dtype, name="drdb4")(x2, trunk, mask)
         if self.interaction != "none":
             s2 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="seg_proj2")(seg_tap2)

@@ -36,10 +36,11 @@ class SegModel(nn.Module):
     num_classes: int = 9
     embedding_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.encoder = MixVisionTransformer(MIT_VARIANTS[self.backbone],
-                                            self.dtype)
+                                            self.dtype, remat=self.remat)
         self.decoder = SegFormerHead(self.num_classes, self.embedding_dim,
                                      dtype=self.dtype)
         self.classifier = nn.Conv(self.num_classes, (1, 1), use_bias=False,
@@ -78,10 +79,11 @@ class SegmentationNetwork(nn.Module):
     num_classes: int = 9
     embedding_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.seg = SegModel(self.backbone, self.num_classes,
-                            self.embedding_dim, self.dtype)
+                            self.embedding_dim, self.dtype, self.remat)
 
     def __call__(self, rgb01: jnp.ndarray, deterministic: bool = True):
         x = normalize_imagenet(rgb01).astype(self.dtype)
@@ -111,12 +113,16 @@ class JointPipeline(nn.Module):
     embedding_dim: int = 256
     interaction: str = "both"
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize encoder blocks + fusion DRDB/FFM
+                         # (trade recompute for HBM; enables full-res
+                         # large-batch TRAINING that otherwise OOMs)
 
     def setup(self):
         self.seg = SegmentationNetwork(self.backbone, self.num_classes,
-                                       self.embedding_dim, self.dtype)
+                                       self.embedding_dim, self.dtype,
+                                       self.remat)
         self.fusion = FusionNetwork(interaction=self.interaction,
-                                    dtype=self.dtype)
+                                    dtype=self.dtype, remat=self.remat)
 
     def fuse(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray,
              guide_rgb: Optional[jnp.ndarray] = None,

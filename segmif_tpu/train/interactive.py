@@ -97,7 +97,8 @@ class InteractiveTrainer:
         self.log = logger or setup_logger()
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = JointPipeline(cfg.backbone, cfg.data.num_classes,
-                                   cfg.embedding_dim, dtype=dtype)
+                                   cfg.embedding_dim, dtype=dtype,
+                                   remat=cfg.remat)
         self.train_data = _stack_dataset(train_dataset)
         self.val_data = _stack_dataset(val_dataset)
         self.fuse_fn = jax.jit(make_fuse_fn(self.model))

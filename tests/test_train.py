@@ -130,3 +130,30 @@ def test_adamw_poly_grouped_runs():
     updates, st = tx.update(g, st, params)
     chex_shapes = jax.tree.map(lambda u, p: u.shape == p.shape, updates, params)
     assert all(jax.tree.leaves(chex_shapes))
+
+
+def test_remat_model_gradients_match():
+    """remat=True recomputes the same math: loss and grads identical."""
+    import jax
+    from segmif_tpu.models.network import JointPipeline
+
+    rng = np.random.default_rng(5)
+    ir = jnp.asarray(rng.uniform(size=(1, 32, 32, 1)).astype(np.float32))
+    vis = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    m0 = JointPipeline("mit_b0", num_classes=9)
+    m1 = JointPipeline("mit_b0", num_classes=9, remat=True)
+    v = m0.init(jax.random.PRNGKey(0), ir, vis)
+
+    def loss(model, params):
+        fused_rgb, fused_y, logits = model.apply(
+            {"params": params, **{k: v[k] for k in v if k != "params"}},
+            ir, vis)
+        return (jnp.mean(fused_y ** 2)
+                + jnp.mean(jax.nn.logsumexp(logits, -1)))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-4), g0, g1)  # recompute
+    # reassociation noise only
