@@ -251,7 +251,9 @@ class MixVisionTransformer(nn.Module):
 
 def fusion_taps(features: Sequence[jnp.ndarray], out_hw: Tuple[int, int]):
     """Bilinearly upsample stage-1/2 features to the input resolution — the
-    encoder->fusion-net bridge (/root/reference/core/mix_transformer.py:358-375)."""
+    encoder->fusion-net bridge (/root/reference/core/mix_transformer.py:358-375).
+    (The shift-lerp integer-factor formulation in ops.image was measured 4x
+    SLOWER than jax.image.resize's dot lowering on v5e — not used here.)"""
     out0 = resize_bilinear(features[0], out_hw)
     out1 = resize_bilinear(features[1], out_hw)
     return out0, out1

@@ -29,6 +29,41 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     return jax.image.resize(x, shape, method="bilinear", antialias=False)
 
 
+def upsample_bilinear_int(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Exact integer-factor half-pixel bilinear upsample of [..., H, W, C]
+    (same math as resize_bilinear to float rounding) as shifted lerps.
+
+    NOTE (v5e, measured): this is 4x SLOWER than jax.image.resize's dot
+    lowering at the encoder-tap shapes (7.0 vs 1.7 ms for the 4x/8x pair
+    at batch 8) — the per-phase plane stack lowers to dynamic-update-slice
+    chains. Kept as the lowest-HBM-footprint form (no transposed dot
+    operands; useful under training memory pressure), not on the hot
+    path."""
+
+    def up1(t, axis):
+        idx = [slice(None)] * t.ndim
+        idx0, idxm, idx1 = list(idx), list(idx), list(idx)
+        idx0[axis] = slice(0, 1)
+        idxm[axis] = slice(0, -1)
+        xm1 = jnp.concatenate([t[tuple(idx0)], t[tuple(idxm)]], axis)
+        idx1[axis] = slice(1, None)
+        idx0[axis] = slice(-1, None)
+        xp1 = jnp.concatenate([t[tuple(idx1)], t[tuple(idx0)]], axis)
+        planes = []
+        for k in range(s):
+            f = (k + 0.5) / s - 0.5
+            lo = -1 if f < 0 else 0
+            w = jnp.asarray(f - lo, t.dtype)
+            a, b = (xm1, t) if lo < 0 else (t, xp1)
+            planes.append((1 - w) * a + w * b)
+        y = jnp.stack(planes, axis=axis + 1 if axis >= 0 else t.ndim + axis + 1)
+        sh = list(t.shape)
+        sh[axis] *= s
+        return y.reshape(sh)
+
+    return up1(up1(x, -3), -2)
+
+
 def resize_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """Nearest-neighbor resize of [..., H, W, C] (used for label maps)."""
     h, w = int(size[0]), int(size[1])

@@ -109,3 +109,15 @@ def test_patch_entropy_behavior(rng):
     e_flat = float(patch_entropy(flat))
     e_noisy = float(patch_entropy(noisy))
     assert e_noisy > e_flat
+
+
+def test_upsample_bilinear_int_matches_resize():
+    from segmif_tpu.ops.image import resize_bilinear, upsample_bilinear_int
+
+    rng = np.random.default_rng(7)
+    for s, (h, w) in ((2, (5, 7)), (4, (6, 8)), (8, (3, 4))):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 5)).astype(np.float32))
+        ref = resize_bilinear(x, (h * s, w * s))
+        got = upsample_bilinear_int(x, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
