@@ -9,14 +9,68 @@ in bfloat16, and measure steady-state throughput on one chip.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 400 (the >=400 pairs/sec/chip target; the reference
 publishes no throughput numbers of its own).
+
+Time-to-first-JSON is bounded by design (the round-1 driver run timed out
+before printing anything, rc=124):
+  * the JAX persistent compilation cache is enabled under ./.jax_cache so
+    only the first-ever run pays full compile;
+  * a provisional JSON line is printed after the FIRST timed rep — if the
+    driver kills the process later, a parseable number already exists
+    (the final line, printed after 3 reps, supersedes it);
+  * warmup is a single rep and the scan length is modest (16 iters).
+
+Modes (default is the north-star single-chip number):
+  --mesh_data N   DP-scaling microbench: shard batch over an N-device data
+                  mesh (pairs/sec aggregate + per-chip).
+  --serving       serving mode: guide taps precomputed outside the loop
+                  (per-dataset constants at inference; see
+                  OPTIMIZATION.md "Next hotspots" #3).
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags: just run cold
+
+
+def _emit(h, w, batch, pairs_per_sec, provisional=False, extra=""):
+    tag = " PROVISIONAL" if provisional else ""
+    result = {
+        "metric": f"fused+segmented {h}x{w} IR-VIS pairs/sec/chip "
+                  f"(mit_b3 joint pipeline, bf16, batch {batch}{extra})"
+                  + tag,
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / 400.0, 4),
+    }
+    print(json.dumps(result), flush=True)
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mesh_data", type=int, default=0,
+                        help="DP scaling: shard batch over N devices")
+    parser.add_argument("--serving", action="store_true",
+                        help="precompute guide taps outside the loop")
+    parser.add_argument("--iters", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=0)
+    args = parser.parse_args()
+
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -25,7 +79,8 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     h, w = (480, 640) if on_tpu else (96, 128)  # tiny fallback off-TPU
-    batch = 8 if on_tpu else 1
+    batch = args.batch or (8 if on_tpu else 1)
+    iters = args.iters if on_tpu else 2
 
     model = JointPipeline("mit_b3" if on_tpu else "mit_b0", num_classes=9,
                           dtype=jnp.bfloat16)
@@ -34,45 +89,85 @@ def main():
     vis = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
     variables = model.init(rng, ir[:1], vis[:1])
 
-    iters = 20 if on_tpu else 2
+    n_chips = 1
+    if args.mesh_data > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from segmif_tpu.parallel.mesh import make_mesh
+
+        n_chips = args.mesh_data
+        mesh = make_mesh(data=n_chips, model=1)
+        bspec = NamedSharding(mesh, P("data"))
+        rspec = NamedSharding(mesh, P())
+        ir = jax.device_put(jnp.tile(ir, (n_chips, 1, 1, 1)), bspec)
+        vis = jax.device_put(jnp.tile(vis, (n_chips, 1, 1, 1)), bspec)
+        variables = jax.device_put(variables, rspec)
+        batch = batch * n_chips
 
     # The whole measurement runs IN-GRAPH (lax.scan with a data dependency
     # between iterations): remote-execution tunnels make per-call
     # block_until_ready unreliable, and per-call dispatch would pollute the
     # steady-state number anyway.
-    @jax.jit
-    def pipeline_many(variables, ir, vis):
-        def body(carry, _):
-            carry_ir, carry_vis = carry
-            # EVERY input must depend on the carry, or XLA hoists the
-            # loop-invariant parts (e.g. the guide-encoder pass) out of the
-            # loop and the number lies
-            fused_rgb, fused_y, logits = model.apply(variables, carry_ir,
-                                                     carry_vis)
-            pred = jnp.argmax(logits, axis=-1)
-            eps = jnp.mean(fused_y) * 1e-7
-            return (carry_ir + eps, carry_vis + eps), (jnp.sum(pred),
-                                                       jnp.mean(fused_rgb))
-        carry, outs = jax.lax.scan(body, (ir, vis), None, length=iters)
-        return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
+    if args.serving:
+        # Serving mode: the guide taps come from a STATIC per-dataset guide
+        # image, so at inference they are constants computed once, not per
+        # pair (reference recomputes them per image: test_fusion.py:100).
+        taps = jax.jit(lambda v, g: model.apply(
+            v, g, method=JointPipeline.guide_taps))(variables, vis)
 
-    float(pipeline_many(variables, ir, vis))  # compile + warmup
-    times = []
-    for _ in range(3):
+        @jax.jit
+        def pipeline_many(variables, taps, ir, vis):
+            def body(carry, _):
+                carry_ir, carry_vis = carry
+                fused_rgb, fused_y, logits = model.apply(
+                    variables, carry_ir, carry_vis, taps=taps)
+                pred = jnp.argmax(logits, axis=-1)
+                eps = jnp.mean(fused_y) * 1e-7
+                return (carry_ir + eps, carry_vis + eps), (jnp.sum(pred),
+                                                           jnp.mean(fused_rgb))
+            carry, outs = jax.lax.scan(body, (ir, vis), None, length=iters)
+            return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
+
+        run = lambda: float(pipeline_many(variables, taps, ir, vis))
+    else:
+        @jax.jit
+        def pipeline_many(variables, ir, vis):
+            def body(carry, _):
+                carry_ir, carry_vis = carry
+                # EVERY input must depend on the carry, or XLA hoists the
+                # loop-invariant parts (e.g. the guide-encoder pass) out of
+                # the loop and the number lies
+                fused_rgb, fused_y, logits = model.apply(variables, carry_ir,
+                                                         carry_vis)
+                pred = jnp.argmax(logits, axis=-1)
+                eps = jnp.mean(fused_y) * 1e-7
+                return (carry_ir + eps, carry_vis + eps), (jnp.sum(pred),
+                                                           jnp.mean(fused_rgb))
+            carry, outs = jax.lax.scan(body, (ir, vis), None, length=iters)
+            return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
+
+        run = lambda: float(pipeline_many(variables, ir, vis))
+
+    extra = ""
+    if args.serving:
+        extra += ", serving/precomputed-taps"
+    if n_chips > 1:
+        extra += f", DP x{n_chips} (per-chip value)"
+
+    run()  # compile + warmup (single rep)
+    t0 = time.perf_counter()
+    run()  # host fetch = real barrier
+    dt_first = time.perf_counter() - t0
+    _emit(h, w, batch, batch * iters / dt_first / n_chips,
+          provisional=True, extra=extra)
+
+    times = [dt_first]
+    for _ in range(2):
         t0 = time.perf_counter()
-        float(pipeline_many(variables, ir, vis))  # host fetch = real barrier
+        run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-
-    pairs_per_sec = batch * iters / dt
-    result = {
-        "metric": f"fused+segmented {h}x{w} IR-VIS pairs/sec/chip "
-                  f"(mit_b3 joint pipeline, bf16, batch {batch})",
-        "value": round(pairs_per_sec, 2),
-        "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / 400.0, 4),
-    }
-    print(json.dumps(result))
+    _emit(h, w, batch, batch * iters / dt / n_chips, extra=extra)
 
 
 if __name__ == "__main__":

@@ -171,6 +171,12 @@ def _grams_pallas(x1, x2, s, wp, bp):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, 2 * c, 2 * c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((3, 2 * c, 2 * c), jnp.float32)],
+        # the cross-tile scratch accumulator (reset at ti==0, flush at
+        # ti==tiles-1) REQUIRES sequential grid execution on both dims —
+        # pin it so a future megacore 'parallel' annotation can't silently
+        # corrupt the accumulation
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=b * n_pad * (3 * 2 * c * 2 * c * 2 + 3 * c * 2 * c * 2),
             bytes_accessed=3 * b * n_pad * c * x1.dtype.itemsize,

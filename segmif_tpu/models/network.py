@@ -97,8 +97,12 @@ class SegmentationNetwork(nn.Module):
 
     def encode_fusion_taps(self, rgb01: jnp.ndarray,
                            deterministic: bool = True):
-        x = normalize_imagenet(rgb01).astype(self.dtype)
-        return self.seg.encode_fusion_taps(x, deterministic)
+        """NOTE: the reference feeds the guide image to forward_fusion RAW in
+        [0,1] — NO x255/ImageNet normalization (train.py:358,
+        test_fusion.py:100 call encoder.forward_fusion directly, bypassing
+        Network3.forward's normalize). Checkpoint parity requires the same."""
+        return self.seg.encode_fusion_taps(rgb01.astype(self.dtype),
+                                           deterministic)
 
 
 class JointPipeline(nn.Module):
@@ -124,26 +128,54 @@ class JointPipeline(nn.Module):
         self.fusion = FusionNetwork(interaction=self.interaction,
                                     dtype=self.dtype, remat=self.remat)
 
+    def guide_taps(self, guide_rgb: jnp.ndarray,
+                   deterministic: bool = True):
+        """Seg-encoder stage-1/2 feature taps for a guide image.
+
+        At inference the guide is a STATIC per-dataset image (the reference
+        recomputes its encoder features per pair, test_fusion.py:100); in
+        serving mode callers precompute this once and pass the result back
+        via `taps=`, removing one full encoder pass from the hot path."""
+        return self.seg.encode_fusion_taps(guide_rgb, deterministic)
+
     def fuse(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray,
              guide_rgb: Optional[jnp.ndarray] = None,
-             deterministic: bool = True):
+             deterministic: bool = True, taps=None,
+             vis_channel: str = "r"):
         """ir: [B,H,W,1] in [0,1]; vis_rgb: [B,H,W,3] in [0,1];
         guide_rgb: image whose seg-encoder features steer the fusion (the
         reference feeds the previous round's fused image from Mask2/;
-        defaults to vis_rgb). Returns (fused_rgb [0,1], fused_y)."""
-        if guide_rgb is None:
-            guide_rgb = vis_rgb
-        tap1, tap2 = self.seg.encode_fusion_taps(guide_rgb, deterministic)
+        defaults to vis_rgb). `taps=(tap1, tap2)` overrides the guide-encoder
+        pass with precomputed features (serving mode).
+
+        vis_channel picks which plane of vis_rgb feeds the fusion net's VIS
+        branch. The reference is INCONSISTENT: Fusion_Network3_ac slices
+        channel 0 of whatever it gets (model_fusion.py:1052); training feeds
+        RGB2YCrCb(vis) so channel 0 is Y (train.py:355-359), but EVERY
+        inference/regeneration path feeds raw RGB so channel 0 is R
+        (test_fusion.py:101, val_performance.py:57,655). "r" (default)
+        matches the deployed inference behavior for converted-checkpoint
+        output parity; "y" gives the train-time semantics.
+        Returns (fused_rgb [0,1], fused_y)."""
+        if taps is None:
+            if guide_rgb is None:
+                guide_rgb = vis_rgb
+            taps = self.seg.encode_fusion_taps(guide_rgb, deterministic)
+        tap1, tap2 = taps
         vis_ycrcb = rgb_to_ycrcb(vis_rgb)
-        fused_y = self.fusion(ir, vis_ycrcb[..., 0:1], tap1, tap2)
+        vis_in = (vis_rgb[..., 0:1] if vis_channel == "r"
+                  else vis_ycrcb[..., 0:1])
+        fused_y = self.fusion(ir, vis_in, tap1, tap2)
         fused_rgb = recombine_fused(fused_y, vis_ycrcb)
         return fused_rgb, fused_y
 
     def __call__(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray,
                  guide_rgb: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, taps=None,
+                 vis_channel: str = "r"):
         """Fuse then segment the fused image. Returns (fused_rgb, fused_y,
         seg_logits at 1/4 resolution)."""
-        fused_rgb, fused_y = self.fuse(ir, vis_rgb, guide_rgb, deterministic)
+        fused_rgb, fused_y = self.fuse(ir, vis_rgb, guide_rgb, deterministic,
+                                       taps=taps, vis_channel=vis_channel)
         logits = self.seg(fused_rgb, deterministic)
         return fused_rgb, fused_y, logits

@@ -18,9 +18,13 @@ Key architectural differences, all deliberate:
  - Checkpoints are Orbax trees of the full state; the seg checkpoint is
    gated on best mIoU like the reference (train.py:236-239).
 
-The fusion phase's guide/target images ("Mask2") are the dataset's static
-guide channel, exactly as in the reference (train.py:346,358-359 reads
-voc_fusion3's Mask2; val_fusion reads Mask2 too, val_performance.py:409).
+The fusion phase's guide/target images ("Mask2") are the dataset's STATIC
+guide channel for ALL rounds, exactly as in the reference (train.py:346,
+358-359 reads voc_fusion3's Mask2; val_fusion reads Mask2 too,
+val_performance.py:409). The regenerated fused images are a SEPARATE array
+(`fused`, the reference's Mask/ dir) consumed only by the seg phase and the
+mIoU eval (train.py:123-135, val_performance.py:217-230) — they never
+replace the fusion-phase target.
 """
 from __future__ import annotations
 
@@ -51,13 +55,19 @@ from .steps import (
 
 class InMemoryFusionDataset:
     """5-tuple dataset over in-memory uint8 arrays — the fused-image handoff
-    between phases."""
+    between phases.
+
+    `guide` is the STATIC fusion target/tap source (reference Mask2/,
+    never mutated after construction); `fused` holds the latest regenerated
+    fused images (reference Mask/, updated each round by regenerate_fused)
+    and is what the seg phase and mIoU eval consume via seg_view()."""
 
     def __init__(self, names, ir, vis, guide, label):
         self.names = names
         self.ir = ir          # [N, H, W, 3] uint8
         self.vis = vis
-        self.guide = guide    # fused images from the fusion phase
+        self.guide = guide    # static guide images (fusion target)
+        self.fused = guide    # regenerated fused images (seg-phase input)
         self.label = label    # [N, H, W] int32
 
     def __len__(self):
@@ -67,6 +77,27 @@ class InMemoryFusionDataset:
         return (self.names[i], self.ir[i].astype(np.float32),
                 self.vis[i].astype(np.float32),
                 self.guide[i].astype(np.float32), self.label[i])
+
+    def seg_view(self) -> "_SegPhaseView":
+        return _SegPhaseView(self)
+
+
+class _SegPhaseView:
+    """Same 5-tuple layout, but slot 3 is the regenerated FUSED image —
+    what the reference's train_seg/val_segformer read from Mask/
+    (train.py:123-135, val_performance.py:217-230)."""
+
+    def __init__(self, base: InMemoryFusionDataset):
+        self.base = base
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        b = self.base
+        return (b.names[i], b.ir[i].astype(np.float32),
+                b.vis[i].astype(np.float32),
+                b.fused[i].astype(np.float32), b.label[i])
 
 
 def _to_uint8(x: np.ndarray) -> np.ndarray:
@@ -139,9 +170,9 @@ class InteractiveTrainer:
         fp = cfg.fusion
         iters = fp.iters_round1 if round_idx == 1 else fp.iters_later
         tx = adamw_poly(fp.learning_rate / round_idx, fp.warmup_iter,
-                        fp.max_iters, cfg.optimizer.weight_decay,
-                        cfg.optimizer.betas, fp.warmup_ratio,
-                        cfg.optimizer.power)
+                        fp.max_iters, fp.weight_decay,
+                        fp.betas, fp.warmup_ratio,
+                        fp.power)
         state = FusionTrainState.create(self.params["fusion"], tx)
         step_fn = jax.jit(make_fusion_train_step(
             self.model, tx, round1=(round_idx == 1),
@@ -199,20 +230,20 @@ class InteractiveTrainer:
         ssim_val = None
         for data, out in ((self.train_data, out_train),
                           (self.val_data, out_val)):
-            old_guide = data.guide
+            # taps + fusion target come from the STATIC guide (data.guide,
+            # the reference's Mask2/); only data.fused is refreshed
             names, fused, _ = generate_fused(
                 self.fuse_fn, variables, data, batch_size=4, out_dir=out)
-            fused8 = _to_uint8(fused)
             if data is self.val_data:
                 from ..eval.evaluator import fusion_quality_eval
 
                 q = fusion_quality_eval(
-                    fused, old_guide.astype(np.float32) / 255.0)
+                    fused, data.guide.astype(np.float32) / 255.0)
                 ssim_val = q["ssim"]
-            data.guide = fused8  # seg phase segments these
+            data.fused = _to_uint8(fused)  # seg phase segments these
         self.log.info(
             "[round %d] regenerated %d train + %d val fused images "
-            "(val SSIM vs previous guide: %.4f)",
+            "(val SSIM vs static guide: %.4f)",
             round_idx, len(self.train_data), len(self.val_data),
             ssim_val if ssim_val is not None else float("nan"))
 
@@ -235,7 +266,7 @@ class InteractiveTrainer:
                         scale_min=cfg.data.rescale_range[0],
                         scale_max=cfg.data.rescale_range[1],
                         ignore_index=cfg.data.ignore_index)
-        pf = Prefetcher(self.train_data, sp.batch_size,
+        pf = Prefetcher(self.train_data.seg_view(), sp.batch_size,
                         seed=cfg.seed + 100 + round_idx)
         it = iter(pf)
         rng = jax.random.PRNGKey(cfg.seed * 13 + round_idx)
@@ -248,7 +279,8 @@ class InteractiveTrainer:
                                   jnp.asarray(raw["guide"]),
                                   jnp.asarray(raw["label"]), aug,
                                   cfg.data.num_classes)
-            # the seg phase trains on the fused image (the regenerated guide)
+            # the seg phase trains on the regenerated fused image (the
+            # "guide" slot of seg_view() is data.fused)
             seg_batch = put_batch(self.mesh,
                                   {"image": batch["guide"],
                                    "label": batch["label"]})
@@ -276,7 +308,7 @@ class InteractiveTrainer:
 
     def evaluate(self, round_idx: int = 0):
         res = segmentation_eval(
-            self.segment_fn, self._full_variables(), self.val_data,
+            self.segment_fn, self._full_variables(), self.val_data.seg_view(),
             self.cfg.data.num_classes, batch_size=4,
             log_file=str(Path(self.cfg.checkpoint_dir) / "val_seg.txt"),
             tag=f"round{round_idx}")

@@ -33,11 +33,21 @@ def tiny_trainer(tmp_path_factory):
 
 
 def test_interactive_two_rounds(tiny_trainer):
+    guide_before = tiny_trainer.train_data.guide.copy()
     result = tiny_trainer.run()
     assert "best_mIoU" in result
     assert len(tiny_trainer.history) >= 2
-    # fused handoff replaced the guides in memory
-    assert tiny_trainer.train_data.guide.dtype == np.uint8
+    # the STATIC guide (fusion target, reference Mask2/) must survive both
+    # rounds unchanged — the round-2 fusion phase trains against the same
+    # target as round 1 (/root/reference/train.py:20-21,346)
+    np.testing.assert_array_equal(tiny_trainer.train_data.guide, guide_before)
+    # while the regenerated fused images (reference Mask/) did change
+    assert tiny_trainer.train_data.fused.dtype == np.uint8
+    assert not np.array_equal(tiny_trainer.train_data.fused, guide_before)
+    # and the seg phase sees the fused image in slot 3
+    view = tiny_trainer.train_data.seg_view()
+    np.testing.assert_array_equal(
+        view[0][3], tiny_trainer.train_data.fused[0].astype(np.float32))
     for h in tiny_trainer.history:
         assert 0.0 <= h["mIoU"] <= 1.0
 

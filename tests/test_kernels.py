@@ -137,7 +137,6 @@ def test_crosspath_pallas_interpret_matches_folded(monkeypatch):
     monkeypatch.setattr(pf.pl, "pallas_call",
                         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
     monkeypatch.setattr(pf, "TILE_N", 64)
-    w = {**variables["params"]["channel_proj1"]}
     p = variables["params"]
     wd = {
         "wp1": p["channel_proj1"]["kernel"], "bp1": p["channel_proj1"]["bias"],

@@ -135,8 +135,19 @@ def test_joint_pipeline_single_graph():
     assert float(jnp.min(fused_rgb)) >= 0.0
     assert float(jnp.max(fused_rgb)) <= 1.0
 
+    # serving mode: precomputed guide taps must reproduce the default path
+    # exactly (the taps are per-dataset constants at inference —
+    # OPTIMIZATION.md "Next hotspots" #3)
+    guide = jnp.full((1, 64, 64, 3), 0.7)
+    taps = m.apply(variables, guide, method=JointPipeline.guide_taps)
+    direct = m.apply(variables, ir, vis, guide)
+    served = m.apply(variables, ir, vis, taps=taps)
+    for a, b in zip(direct, served):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
-@pytest.mark.parametrize("interaction", ["both", "none", "concat", "add"])
+
+@pytest.mark.parametrize("interaction", ["both", "none", "concat", "add",
+                                         "moam", "soam"])
 def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
                                                         monkeypatch):
     """The phase-persistent trunk (split once -> DRDB/FFM on phase planes ->
