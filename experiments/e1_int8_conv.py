@@ -59,7 +59,6 @@ def conv_i8(x, w, dil=1):
 
 
 def main():
-    rng = np.random.default_rng(0)
     shapes = [
         ("full 64->160 dil2", (8, 480, 640, 64), (3, 3, 64, 160), 2),
         ("phase 64->160", (32, 240, 320, 64), (3, 3, 64, 160), 1),
@@ -67,18 +66,17 @@ def main():
         ("full 128->64", (8, 480, 640, 128), (3, 3, 128, 64), 1),
     ]
     for name, xs, ws, dil in shapes:
-        x = jnp.asarray(rng.uniform(-1, 1, xs), jnp.bfloat16)
-        w = jnp.asarray(rng.uniform(-1, 1, ws), jnp.bfloat16)
-        xi = jnp.asarray(rng.integers(-127, 127, xs), jnp.int8)
-        wi = jnp.asarray(rng.integers(-127, 127, ws), jnp.int8)
-        t_bf = timed(lambda a, b: conv(a, b, dil), x, w)
+        t_bf = timed(lambda a, b: conv(a, b, dil),
+                     [(xs, jnp.bfloat16), (ws, jnp.bfloat16)])
         try:
-            t_i8 = timed(lambda a, b: conv_i8(a, b, dil), xi, wi)
+            t_i8 = timed(lambda a, b: conv_i8(a, b, dil),
+                         [(xs, jnp.int8), (ws, jnp.int8)])
         except Exception as e:
             t_i8 = float("nan")
             print(name, "int8 FAILED:", type(e).__name__, str(e)[:120])
         print(f"{name}: bf16 {t_bf:.2f} ms  int8 {t_i8:.2f} ms "
-              f"(ratio {t_bf / t_i8 if t_i8 == t_i8 else float('nan'):.2f}x)")
+              f"(ratio {t_bf / t_i8 if t_i8 == t_i8 else float('nan'):.2f}x)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,10 @@ def main(argv=None):
     p.add_argument("-B", "--batch_size", type=int, default=4)
     p.add_argument("--reference_quantization", action="store_true",
                    help="reproduce the reference's double uint8 quantization")
+    p.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="shard the fusion trunk's image rows over N devices "
+                        "(the 1080p/mit_b5 stretch path, exact — "
+                        "parallel/spatial.py); 0 = single-device")
     args = p.parse_args(argv)
 
     import jax
@@ -85,7 +89,14 @@ def main(argv=None):
     ds = FusionFolderDataset(args.data_root, ir_dir=args.ir_dir,
                              vis_dir=args.vis_dir, guide_dir=args.guide_dir,
                              label_dir=args.label_dir)
-    fuse_fn = jax.jit(make_fuse_fn(model))
+    if args.spatial:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.spatial import make_spatial_fuse_fn
+
+        mesh = make_mesh(data=args.spatial, model=1)
+        fuse_fn = jax.jit(make_spatial_fuse_fn(mesh, model))
+    else:
+        fuse_fn = jax.jit(make_fuse_fn(model))
     names, fused, _ = generate_fused(
         fuse_fn, variables, ds, batch_size=args.batch_size,
         out_dir=args.out_dir,

@@ -221,6 +221,9 @@ def augment_sample(key, ir, vis, guide, label, cfg: AugConfig,
     Returns dict with 'ir' [C,C,1], 'vis'/'guide' [C,C,3] in [0,1],
     'label' [C,C] int32.
     """
+    ir = ir.astype(jnp.float32)
+    vis = vis.astype(jnp.float32)
+    guide = guide.astype(jnp.float32)
     k_scale, k_flip, k_crop, k_photo = jax.random.split(key, 4)
     scale = jax.random.uniform(k_scale, (), minval=cfg.scale_min,
                                maxval=cfg.scale_max)

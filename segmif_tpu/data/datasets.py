@@ -126,6 +126,14 @@ class FusionFolderDataset:
         label = _load_label(self.dirs["label"] / n)
         return n, ir, vis, guide, label
 
+    def sample_paths(self):
+        """Per-sample (ir, vis, guide, label) path 4-tuples — lets the native
+        C++ batch loader (data/native.py NativeLoader) own the whole decode
+        pipeline instead of per-file calls."""
+        return [(self.dirs["ir"] / n, self.dirs["vis"] / n,
+                 self.dirs["guide"] / n, self.dirs["label"] / n)
+                for n in self.names]
+
 
 class PairFolderDataset:
     """Eval loader over (ir_dir, vis_dir, label_dir) with globbed, naturally

@@ -64,3 +64,24 @@ def random_noise(key, image, label, noise_range: float = 5.0,
                                maxval=noise_range)
     out = jnp.clip(image + jnp.where(do, noise, 0.0), 0, 255)
     return out, label
+
+
+def random_flipud(key, image, label, prob: float = 0.5):
+    """Vertical flip (parity with random_flipud,
+    /root/reference/datasets/imutils.py:134-140 — unused by reference entry
+    points)."""
+    do = jax.random.bernoulli(key, prob)
+    return (jnp.where(do, image[::-1], image),
+            jnp.where(do, label[::-1], label))
+
+
+def random_rot(key, image, label):
+    """Random 90-degree rotation, k uniform in {1, 2, 3} (parity with
+    random_rot, /root/reference/datasets/imutils.py:142-148). Requires a
+    SQUARE image under jit (k=1/3 transpose the spatial dims — only a
+    static shape if H == W; the reference applies it to square crops)."""
+    assert image.shape[0] == image.shape[1], "random_rot needs H == W"
+    k = jax.random.randint(key, (), 1, 4)
+    branches = [lambda t, i=i: jnp.rot90(t, i) for i in (1, 2, 3)]
+    return (jax.lax.switch(k - 1, branches, image),
+            jax.lax.switch(k - 1, branches, label))

@@ -42,7 +42,7 @@ def segmentation_eval(segment_fn: Callable, variables, dataset,
             imgs, labels = arrays
         else:  # 5-tuple layout: ir, vis, guide, label
             imgs, labels = arrays[2], arrays[3]
-        imgs = jnp.asarray(imgs, jnp.float32) / 255.0
+        imgs = jnp.asarray(imgs).astype(jnp.float32) / 255.0
         pred = segment_fn(variables, imgs)
         labels = jnp.asarray(labels)
         conf = conf + confusion_matrix(labels[:count], pred[:count],
@@ -85,9 +85,9 @@ def generate_fused(fuse_fn: Callable, variables, dataset,
     all_names, all_fused, all_labels = [], [], []
     for names, count, (ir, vis, guide, label) in iterate_eval(dataset,
                                                               batch_size):
-        ir_y = jnp.asarray(ir, jnp.float32)[..., 0:1] / 255.0
-        vis_j = jnp.asarray(vis, jnp.float32) / 255.0
-        guide_j = jnp.asarray(guide, jnp.float32) / 255.0
+        ir_y = jnp.asarray(ir[..., 0:1]).astype(jnp.float32) / 255.0
+        vis_j = jnp.asarray(vis).astype(jnp.float32) / 255.0
+        guide_j = jnp.asarray(guide).astype(jnp.float32) / 255.0
         fused_rgb, _ = fuse_fn(variables, ir_y, vis_j, guide_j)
         fused_np = np.asarray(fused_rgb[:count], np.float32)
         if out_dir is not None:

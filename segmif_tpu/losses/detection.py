@@ -65,3 +65,89 @@ def centerness_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     ce = jnp.logaddexp(0.0, logits) - logits * targets
     ce = jnp.where(mask, ce, 0.0)
     return jnp.sum(ce) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def coords_fmap(h: int, w: int, stride: int) -> jnp.ndarray:
+    """Feature-map cell centers in original-image coordinates, [h*w, 2] as
+    (x, y) (coords_fmap2orig, /root/reference/core/loss.py:18-37)."""
+    xs = jnp.arange(w, dtype=jnp.float32) * stride
+    ys = jnp.arange(h, dtype=jnp.float32) * stride
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], -1) + stride // 2
+
+
+def gen_level_targets(shape_hw, gt_boxes: jnp.ndarray, classes: jnp.ndarray,
+                      stride: int, limit_range,
+                      sample_radiu_ratio: float = 1.5):
+    """FCOS target assignment for one FPN level (GenTargets._gen_level_targets,
+    /root/reference/core/loss.py:77-165), fully vectorized for XLA: the
+    boolean-scatter row selection becomes argmin + take_along_axis.
+
+    shape_hw: static (h, w) of the level's feature map.
+    gt_boxes: [B, m, 4] (x1, y1, x2, y2); classes: [B, m] int.
+    Returns (cls_targets [B, hw, 1], cnt_targets [B, hw, 1],
+             reg_targets [B, hw, 4]); negatives get 0 / -1 / -1.
+    """
+    h, w = shape_hw
+    coords = coords_fmap(h, w, stride)          # [hw, 2]
+    x = coords[:, 0][None, :, None]             # [1, hw, 1]
+    y = coords[:, 1][None, :, None]
+
+    l_off = x - gt_boxes[..., 0][:, None, :]    # [B, hw, m]
+    t_off = y - gt_boxes[..., 1][:, None, :]
+    r_off = gt_boxes[..., 2][:, None, :] - x
+    b_off = gt_boxes[..., 3][:, None, :] - y
+    ltrb = jnp.stack([l_off, t_off, r_off, b_off], -1)   # [B, hw, m, 4]
+
+    areas = (ltrb[..., 0] + ltrb[..., 2]) * (ltrb[..., 1] + ltrb[..., 3])
+    off_min = jnp.min(ltrb, -1)
+    off_max = jnp.max(ltrb, -1)
+    in_box = off_min > 0
+    in_level = (off_max > limit_range[0]) & (off_max <= limit_range[1])
+
+    radiu = stride * sample_radiu_ratio
+    cx = (gt_boxes[..., 0] + gt_boxes[..., 2]) / 2
+    cy = (gt_boxes[..., 1] + gt_boxes[..., 3]) / 2
+    c_off = jnp.stack([x - cx[:, None, :], y - cy[:, None, :],
+                       cx[:, None, :] - x, cy[:, None, :] - y], -1)
+    near_center = jnp.max(c_off, -1) < radiu
+
+    mask_pos = in_box & in_level & near_center           # [B, hw, m]
+    areas = jnp.where(mask_pos, areas, 99999999.0)
+    best = jnp.argmin(areas, -1)                         # [B, hw]
+
+    take = lambda t: jnp.take_along_axis(  # noqa: E731
+        t, best[..., None, None], axis=2)[:, :, 0]
+    reg_targets = take(ltrb)                             # [B, hw, 4]
+    cls_targets = jnp.take_along_axis(
+        jnp.broadcast_to(classes[:, None, :], areas.shape).astype(jnp.int32),
+        best[..., None], axis=2)                         # [B, hw, 1]
+
+    lr_min = jnp.minimum(reg_targets[..., 0], reg_targets[..., 2])
+    lr_max = jnp.maximum(reg_targets[..., 0], reg_targets[..., 2])
+    tb_min = jnp.minimum(reg_targets[..., 1], reg_targets[..., 3])
+    tb_max = jnp.maximum(reg_targets[..., 1], reg_targets[..., 3])
+    cnt_targets = jnp.sqrt(jnp.clip(
+        (lr_min * tb_min) / (lr_max * tb_max + 1e-10), 0.0))[..., None]
+
+    any_pos = jnp.any(mask_pos, -1)                      # [B, hw]
+    cls_targets = jnp.where(any_pos[..., None], cls_targets, 0)
+    cnt_targets = jnp.where(any_pos[..., None], cnt_targets, -1.0)
+    reg_targets = jnp.where(any_pos[..., None], reg_targets, -1.0)
+    return cls_targets, cnt_targets, reg_targets
+
+
+def gen_targets(level_shapes, gt_boxes: jnp.ndarray, classes: jnp.ndarray,
+                strides, limit_ranges, sample_radiu_ratio: float = 1.5):
+    """Multi-level FCOS targets (GenTargets.forward,
+    /root/reference/core/loss.py:38-76), concatenated over levels.
+
+    level_shapes: static [(h, w), ...] per FPN level (the reference derives
+    them from the logits; static shapes keep this jittable)."""
+    outs = [gen_level_targets(s, gt_boxes, classes, st, lr,
+                              sample_radiu_ratio)
+            for s, st, lr in zip(level_shapes, strides, limit_ranges)]
+    cls_t = jnp.concatenate([o[0] for o in outs], 1)
+    cnt_t = jnp.concatenate([o[1] for o in outs], 1)
+    reg_t = jnp.concatenate([o[2] for o in outs], 1)
+    return cls_t, cnt_t, reg_t

@@ -70,16 +70,22 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
-def _linear_cross_attention_sharded(q, k, v, scale, axis_name):
+def _linear_cross_attention_sharded(q, k, v, scale, axis_name,
+                                    token_weight=None):
     """Exact linear cross-attention over the GLOBAL token set: local k^T v
-    partial sums -> psum -> softmax -> q @ ctx. q,k,v: [N_local, H, D]."""
+    partial sums -> psum -> softmax -> q @ ctx. q,k,v: [N_local, H, D].
+    token_weight ([N_local], 0/1) drops padding tokens from the gram so a
+    row-padded image attends identically to the unpadded one."""
+    if token_weight is not None:
+        k = k * token_weight[:, None, None].astype(k.dtype)
     ctx = jnp.einsum("mhd,mhe->hde", k, v) * scale
     ctx = jax.lax.psum(ctx, axis_name)
     ctx = jax.nn.softmax(ctx.astype(jnp.float32), axis=-2).astype(q.dtype)
     return jnp.einsum("nhd,hde->nhe", q, ctx)
 
 
-def _crosspath_sharded(w: Dict, x1, x2, seg, num_heads, axis_name):
+def _crosspath_sharded(w: Dict, x1, x2, seg, num_heads, axis_name,
+                       token_weight=None):
     """CrossPath forward (models/fusion.py CrossPath) on row-sharded token
     blocks. x1/x2/seg: [N_local, C]."""
     dim = x1.shape[-1]
@@ -102,16 +108,19 @@ def _crosspath_sharded(w: Dict, x1, x2, seg, num_heads, axis_name):
     k3 = kv3[..., :dim].reshape(n, h, d)
     v3 = kv3[..., dim:].reshape(n, h, d)
     v1 = _linear_cross_attention_sharded(
-        u1.reshape(n, h, d), k3, v3, scale, axis_name).reshape(n, dim)
+        u1.reshape(n, h, d), k3, v3, scale, axis_name,
+        token_weight).reshape(n, dim)
     v2 = _linear_cross_attention_sharded(
-        u2.reshape(n, h, d), k3, v3, scale, axis_name).reshape(n, dim)
+        u2.reshape(n, h, d), k3, v3, scale, axis_name,
+        token_weight).reshape(n, dim)
 
     def kv_attend(name, src):
         kv = dense_nb("cross_attn2", name, src)
         kk = kv[..., :dim].reshape(n, h, d)
         vv = kv[..., dim:].reshape(n, h, d)
         return _linear_cross_attention_sharded(
-            y3.reshape(n, h, d), kk, vv, scale, axis_name).reshape(n, dim)
+            y3.reshape(n, h, d), kk, vv, scale, axis_name,
+            token_weight).reshape(n, dim)
 
     z1 = kv_attend("kv1", y1)
     z2 = kv_attend("kv2", y2)
@@ -128,16 +137,20 @@ def _crosspath_sharded(w: Dict, x1, x2, seg, num_heads, axis_name):
 
 
 def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
-                            num_heads: int, axis_name: str):
+                            num_heads: int, axis_name: str,
+                            true_h: int | None = None):
     """Shard-local FusionNetwork forward ([rows_local, W, ch] blocks).
 
     Convs run on halo-extended blocks (halo exchanged per interaction
-    segment); the FFM attention psums its context."""
+    segment); the FFM attention psums its context. `true_h` (static) is the
+    unpadded image height when the caller padded rows to divide the shard
+    count — padding rows are treated as out-of-image by every conv mask and
+    excluded from the attention grams."""
     alpha = params["prelu_alpha"]
     rows_local = ir.shape[0]
     n_shards = jax.lax.axis_size(axis_name)
     shard_idx = jax.lax.axis_index(axis_name)
-    h_global = rows_local * n_shards
+    h_global = true_h if true_h is not None else rows_local * n_shards
 
     def edge_mask(halo: int):
         """[1, rows_local+2*halo, 1, 1] in-image row indicator for a
@@ -164,11 +177,15 @@ def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
 
     def ffm(x1, x2, s):
         rl, wd, c = x1.shape
+        tw = None
+        if true_h is not None:
+            rows_ok = (shard_idx * rl + jnp.arange(rl)) < h_global
+            tw = jnp.repeat(rows_ok, wd).astype(x1.dtype)
         t1, t2 = _crosspath_sharded(params["ffm"]["cross"],
                                     x1.reshape(rl * wd, c),
                                     x2.reshape(rl * wd, c),
                                     s.reshape(rl * wd, s.shape[-1]),
-                                    num_heads, axis_name)
+                                    num_heads, axis_name, tw)
         return t1.reshape(rl, wd, c), t2.reshape(rl, wd, c)
 
     x1, x2 = ffm(x1, x2, seg_proj("seg_proj1", tap1))
@@ -202,19 +219,74 @@ def spatial_fuse(mesh: Mesh, params: Dict, ir, vis_y, tap1, tap2,
 
     params: the FusionNetwork param dict (variables['params']['fusion']).
     ir/vis_y: [H, W, 1]; tap1: [H, W, 64]; tap2: [H, W, 128] (single image;
-    vmap externally for batches). H must divide the axis size. Returns the
-    fused Y [H, W, 1]. Exact (halo-exchanged convs + psum'd attention).
+    use `spatial_fuse_batched` for batches). Any H — rows are zero-padded to
+    a multiple of the shard count and the pad rows are masked out of every
+    conv and attention gram, so the result equals the unsharded forward.
+    Returns the fused Y [H, W, 1]. Exact (halo-exchanged convs + psum'd
+    attention).
     """
     n = mesh.shape[axis]
     h = ir.shape[0]
-    assert h % n == 0, (h, n)
+    pad = (-h) % n
+    # halo exchange is single-hop (ppermute to adjacent shards only)
+    assert (h + pad) // n >= _HALO, (
+        f"rows per shard {(h + pad) // n} < halo {_HALO}; "
+        f"use fewer shards for H={h}")
+    true_h = h if pad else None
+    if pad:
+        padfn = lambda t: jnp.pad(t, ((0, pad), (0, 0), (0, 0)))  # noqa: E731
+        ir, vis_y, tap1, tap2 = map(padfn, (ir, vis_y, tap1, tap2))
 
     spec_in = P(axis, None, None)
     fn = jax.shard_map(
         functools.partial(_fusion_forward_sharded, num_heads=num_heads,
-                          axis_name=axis),
+                          axis_name=axis, true_h=true_h),
         mesh=mesh,
         in_specs=(P(), spec_in, spec_in, spec_in, spec_in),
         out_specs=spec_in,
     )
-    return fn(params, ir, vis_y, tap1, tap2)
+    out = fn(params, ir, vis_y, tap1, tap2)
+    return out[:h] if pad else out
+
+
+def spatial_fuse_batched(mesh: Mesh, params: Dict, ir, vis_y, tap1, tap2,
+                         num_heads: int = 8, axis: str = "data"):
+    """Batched spatial_fuse: [B, H, W, C] inputs -> [B, H, W, 1] fused Y."""
+    return jax.vmap(
+        lambda a, b, c, d: spatial_fuse(mesh, params, a, b, c, d,
+                                        num_heads=num_heads, axis=axis)
+    )(ir, vis_y, tap1, tap2)
+
+
+def make_spatial_fuse_fn(mesh: Mesh, model, axis: str = "data",
+                         vis_channel: str = "r"):
+    """The full test_fusion inference pipeline (JointPipeline.fuse
+    semantics) with the fusion trunk row-sharded over `axis` — the 1080p/
+    mit_b5 stretch path (SURVEY.md §5.7, configs/stretch_1080p.yaml).
+
+    Returns fuse_fn(variables, ir_y [B,H,W,1], vis_rgb [B,H,W,3],
+    guide_rgb [B,H,W,3]) -> (fused_rgb, fused_y), a drop-in replacement for
+    train.steps.make_fuse_fn. The seg-encoder tap pass and the YCrCb
+    recombine run unsharded (they fit; the full-res fusion trunk is where
+    the memory pressure lives); the trunk runs via spatial_fuse_batched —
+    exact, so outputs match the single-device fuse_fn to fp tolerance.
+    """
+    from ..models.network import JointPipeline
+    from ..ops.color import recombine_fused, rgb_to_ycrcb
+
+    def fuse_fn(variables, ir, vis_rgb, guide_rgb):
+        taps = model.apply(variables, guide_rgb,
+                           method=JointPipeline.guide_taps)
+        tap1, tap2 = taps
+        vis_ycrcb = rgb_to_ycrcb(vis_rgb)
+        vis_in = (vis_rgb[..., 0:1] if vis_channel == "r"
+                  else vis_ycrcb[..., 0:1])
+        dtype = tap1.dtype
+        fused_y = spatial_fuse_batched(
+            mesh, variables["params"]["fusion"], ir.astype(dtype),
+            vis_in.astype(dtype), tap1, tap2, axis=axis)
+        fused_rgb = recombine_fused(fused_y.astype(jnp.float32),
+                                    vis_ycrcb.astype(jnp.float32))
+        return fused_rgb, fused_y
+
+    return fuse_fn

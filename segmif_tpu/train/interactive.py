@@ -74,9 +74,10 @@ class InMemoryFusionDataset:
         return len(self.names)
 
     def __getitem__(self, i):
-        return (self.names[i], self.ir[i].astype(np.float32),
-                self.vis[i].astype(np.float32),
-                self.guide[i].astype(np.float32), self.label[i])
+        # uint8 views — the cast to float happens ON DEVICE (augment_sample /
+        # the evaluator), so the single-core host ships 1 byte/px, not 4.
+        return (self.names[i], self.ir[i], self.vis[i], self.guide[i],
+                self.label[i])
 
     def seg_view(self) -> "_SegPhaseView":
         return _SegPhaseView(self)
@@ -95,25 +96,28 @@ class _SegPhaseView:
 
     def __getitem__(self, i):
         b = self.base
-        return (b.names[i], b.ir[i].astype(np.float32),
-                b.vis[i].astype(np.float32),
-                b.fused[i].astype(np.float32), b.label[i])
+        return (b.names[i], b.ir[i], b.vis[i], b.fused[i], b.label[i])
 
 
 def _to_uint8(x: np.ndarray) -> np.ndarray:
     return np.uint8(np.clip(x * 255.0, 0, 255))
 
 
-def _stack_dataset(dataset) -> InMemoryFusionDataset:
-    names, irs, viss, guides, labels = [], [], [], [], []
-    for i in range(len(dataset)):
+def _stack_dataset(dataset, num_threads: int = 8) -> InMemoryFusionDataset:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(i):
         n, ir, vis, guide, label = dataset[i]
-        names.append(n)
-        irs.append(np.uint8(np.clip(ir, 0, 255)))
-        viss.append(np.uint8(np.clip(vis, 0, 255)))
-        guides.append(np.uint8(np.clip(guide, 0, 255)))
-        labels.append(label.astype(np.int32))
-    return InMemoryFusionDataset(names, np.stack(irs), np.stack(viss),
+        return (n, np.uint8(np.clip(ir, 0, 255)),
+                np.uint8(np.clip(vis, 0, 255)),
+                np.uint8(np.clip(guide, 0, 255)), label.astype(np.int32))
+
+    # Decode in parallel — the native decoder and PIL both release the GIL,
+    # so startup load of a full split scales with threads.
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        samples = list(ex.map(load, range(len(dataset))))
+    names, irs, viss, guides, labels = zip(*samples)
+    return InMemoryFusionDataset(list(names), np.stack(irs), np.stack(viss),
                                  np.stack(guides), np.stack(labels))
 
 

@@ -109,3 +109,18 @@ def load_reference_core():
     mf = importlib.import_module("refcore.model_fusion")
     sh = importlib.import_module("refcore.segformer_head")
     return mt, mf, sh
+
+
+def load_reference_loss():
+    """Returns the ACTUAL /root/reference/core/loss.py module (GenTargets +
+    loss family). Its `from lap_loss import ...` / `from pytorch_ssim
+    import ...` absolute imports resolve against the reference root."""
+    _install_stubs()
+    if "refcore" not in sys.modules:
+        pkg = types.ModuleType("refcore")
+        pkg.__path__ = [REFERENCE_CORE]
+        sys.modules["refcore"] = pkg
+    ref_root = REFERENCE_CORE.rsplit("/", 1)[0]
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    return importlib.import_module("refcore.loss")

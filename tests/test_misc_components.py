@@ -135,3 +135,51 @@ def test_fusion_attention_maps():
     # the non-context path folds the end projections into the context
     # matrices (same math, different fp association) — tolerance covers it
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+
+
+def test_legacy_flipud_rot():
+    import jax
+    import jax.numpy as jnp
+
+    from segmif_tpu.data.legacy_augment import random_flipud, random_rot
+
+    img = jnp.arange(4 * 4 * 3, dtype=jnp.float32).reshape(4, 4, 3)
+    lab = jnp.arange(16, dtype=jnp.int32).reshape(4, 4)
+    # flipud with prob 1 flips rows
+    fi, fl = random_flipud(jax.random.PRNGKey(0), img, lab, prob=1.0)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(img)[::-1])
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(lab)[::-1])
+    # rot: image and label rotate by the SAME k in {1,2,3}, jittable
+    ri, rl = jax.jit(random_rot)(jax.random.PRNGKey(3), img, lab)
+    matches = [k for k in (1, 2, 3)
+               if np.array_equal(np.asarray(ri), np.rot90(np.asarray(img), k))
+               and np.array_equal(np.asarray(rl),
+                                  np.rot90(np.asarray(lab), k))]
+    assert len(matches) == 1
+
+
+def test_visual_colormap_and_grids():
+    from segmif_tpu.eval.visual import (colormap, encode_cmap, make_grid,
+                                        training_image_summary)
+
+    cmap = colormap()
+    assert cmap.shape == (256, 3) and cmap.dtype == np.uint8
+    # VOC palette spot checks (class 1 = dark red, 2 = dark green)
+    np.testing.assert_array_equal(cmap[0], [0, 0, 0])
+    np.testing.assert_array_equal(cmap[1], [128, 0, 0])
+    np.testing.assert_array_equal(cmap[2], [0, 128, 0])
+
+    lab = np.array([[0, 1], [2, 3]])
+    enc = encode_cmap(lab)
+    np.testing.assert_array_equal(enc[0, 1], cmap[1])
+
+    imgs = np.zeros((3, 4, 5, 3), np.uint8)
+    grid = make_grid(imgs, nrow=2)
+    assert grid.shape == (2 * (4 + 2) + 2, 2 * (5 + 2) + 2, 3)
+
+    rng = np.random.default_rng(0)
+    gi, gp, gl = training_image_summary(
+        rng.uniform(0, 1, (2, 4, 4, 3)),
+        rng.normal(size=(2, 4, 4, 9)),
+        rng.integers(0, 9, (2, 4, 4)))
+    assert gi.dtype == np.uint8 and gp is not None and gl is not None

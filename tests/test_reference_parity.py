@@ -162,3 +162,45 @@ def test_joint_pipeline_vs_reference_chain(refcore, tmp_path, monkeypatch):
                                  jnp.asarray(guide),
                                  method=JointPipeline.fuse)
     np.testing.assert_allclose(np.asarray(got_rgb), expect, atol=3e-4)
+
+
+def test_gen_targets_vs_reference():
+    """FCOS target assignment (gen_targets) vs the actual GenTargets module
+    (/root/reference/core/loss.py:38-165) on random boxes."""
+    import torch
+
+    from segmif_tpu.losses.detection import gen_targets
+    from tests.reference_loader import load_reference_loss
+
+    refloss = load_reference_loss()
+    strides = [8, 16]
+    limit_ranges = [[-1, 64], [64, 999999]]
+    shapes = [(8, 10), (4, 5)]
+    b, m, ncls = 2, 3, 5
+
+    rng = np.random.default_rng(0)
+    x1 = rng.uniform(0, 40, (b, m, 1))
+    y1 = rng.uniform(0, 40, (b, m, 1))
+    wbox = rng.uniform(8, 50, (b, m, 1))
+    hbox = rng.uniform(8, 50, (b, m, 1))
+    boxes = np.concatenate([x1, y1, x1 + wbox, y1 + hbox], -1).astype(
+        np.float32)
+    classes = rng.integers(1, ncls, (b, m)).astype(np.int64)
+
+    gen = refloss.GenTargets(strides, limit_ranges)
+    logits = [[torch.zeros(b, ncls, h, w) for h, w in shapes],
+              [torch.zeros(b, 1, h, w) for h, w in shapes],
+              [torch.zeros(b, 4, h, w) for h, w in shapes]]
+    with torch.no_grad():
+        ref_cls, ref_cnt, ref_reg = gen(
+            [logits, torch.from_numpy(boxes), torch.from_numpy(classes)])
+
+    got_cls, got_cnt, got_reg = gen_targets(
+        shapes, jnp.asarray(boxes), jnp.asarray(classes), strides,
+        limit_ranges)
+    np.testing.assert_array_equal(np.asarray(got_cls),
+                                  ref_cls.numpy().astype(np.int32))
+    np.testing.assert_allclose(np.asarray(got_cnt), ref_cnt.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_reg), ref_reg.numpy(),
+                               atol=1e-4)
