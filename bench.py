@@ -34,6 +34,29 @@ import os
 import time
 
 
+def _tpu_reachable(timeout_s: float = 150.0) -> bool:
+    """Probe TPU backend init in a SUBPROCESS with a hard timeout.
+
+    Merely initializing the axon TPU plugin (any `jax.devices()` call)
+    blocks forever when its tunnel is wedged — in-process watchdogs can't
+    recover from that. A killable subprocess probe keeps time-to-first-JSON
+    bounded: if the probe can't init within timeout_s, the bench pins the
+    CPU platform and still emits a parseable (tiny-shape) number.
+    """
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); "
+             "print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "tpu" in proc.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def _enable_compile_cache():
     import jax
 
@@ -47,11 +70,12 @@ def _enable_compile_cache():
         pass  # older jax without these flags: just run cold
 
 
-def _emit(h, w, batch, pairs_per_sec, provisional=False, extra=""):
+def _emit(h, w, batch, pairs_per_sec, backbone="mit_b3", provisional=False,
+          extra=""):
     tag = " PROVISIONAL" if provisional else ""
     result = {
         "metric": f"fused+segmented {h}x{w} IR-VIS pairs/sec/chip "
-                  f"(mit_b3 joint pipeline, bf16, batch {batch}{extra})"
+                  f"({backbone} joint pipeline, bf16, batch {batch}{extra})"
                   + tag,
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
@@ -72,6 +96,11 @@ def main():
 
     _enable_compile_cache()
     import jax
+
+    if not _tpu_reachable():
+        # wedged/absent TPU tunnel: pin CPU BEFORE backend init (a bare
+        # import would block forever inside the plugin's init)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from segmif_tpu.models.network import JointPipeline
@@ -82,8 +111,8 @@ def main():
     batch = args.batch or (8 if on_tpu else 1)
     iters = args.iters if on_tpu else 2
 
-    model = JointPipeline("mit_b3" if on_tpu else "mit_b0", num_classes=9,
-                          dtype=jnp.bfloat16)
+    backbone = "mit_b3" if on_tpu else "mit_b0"
+    model = JointPipeline(backbone, num_classes=9, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     ir = jax.random.uniform(rng, (batch, h, w, 1), jnp.float32)
     vis = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
@@ -158,7 +187,7 @@ def main():
     t0 = time.perf_counter()
     run()  # host fetch = real barrier
     dt_first = time.perf_counter() - t0
-    _emit(h, w, batch, batch * iters / dt_first / n_chips,
+    _emit(h, w, batch, batch * iters / dt_first / n_chips, backbone,
           provisional=True, extra=extra)
 
     times = [dt_first]
@@ -167,7 +196,8 @@ def main():
         run()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    _emit(h, w, batch, batch * iters / dt / n_chips, extra=extra)
+    _emit(h, w, batch, batch * iters / dt / n_chips, backbone,
+          extra=extra)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-from segmif_tpu.models.network import JointPipeline
+import _cache
+
+_cache.enable()
+
+from segmif_tpu.models.network import JointPipeline  # noqa: E402
 
 
 def timed_scan(fn, args, iters=8, reps=3):
@@ -62,24 +66,30 @@ def main():
     taps = jax.jit(lambda v: model.apply(
         v, vis, method=JointPipeline.guide_taps))(variables)
 
-    def fuse_served(ir_, vis_):
-        fr, fy = model.apply(variables, ir_, vis_, taps=taps,
+    # taps must be ARGUMENTS, not closure captures: closed-over arrays embed
+    # as literal constants in the jaxpr and the ~300 MB payload blows up the
+    # tunnel's remote compile (HTTP 413 / multi-10-min compiles)
+    def fuse_served(ir_, vis_, t1, t2):
+        fr, fy = model.apply(variables, ir_, vis_, taps=(t1, t2),
                              method=JointPipeline.fuse)
         return fr + fy.mean()
 
-    t_full = timed_scan(full, (ir, vis))
-    t_fuse = timed_scan(fuse_only, (ir, vis))
-    t_taps = timed_scan(taps_only, (vis,))
-    t_seg = timed_scan(seg_only, (vis,))
+    # measure + print one at a time so partial results survive a timeout
     t_fsv = timed_scan(fuse_served, (ir, vis))
-    print(f"full joint          : {t_full:7.1f} ms  ({b / t_full * 1000:.1f} pairs/s)")
-    print(f"fuse (taps in-loop) : {t_fuse:7.1f} ms")
-    print(f"guide taps alone    : {t_taps:7.1f} ms")
-    print(f"seg net alone       : {t_seg:7.1f} ms")
-    print(f"fuse (served taps)  : {t_fsv:7.1f} ms  => fusion-net core")
-    print(f"implied seg-on-fused: {t_full - t_fuse:7.1f} ms")
+    print(f"fuse (served taps)  : {t_fsv:7.1f} ms  => fusion-net core",
+          flush=True)
+    t_seg = timed_scan(seg_only, (vis,))
+    print(f"seg net alone       : {t_seg:7.1f} ms", flush=True)
     print(f"serving joint est.  : {t_fsv + t_seg:7.1f} ms  "
-          f"({b / (t_fsv + t_seg) * 1000:.1f} pairs/s)")
+          f"({b / (t_fsv + t_seg) * 1000:.1f} pairs/s)", flush=True)
+    t_taps = timed_scan(taps_only, (vis,))
+    print(f"guide taps alone    : {t_taps:7.1f} ms", flush=True)
+    t_full = timed_scan(full, (ir, vis))
+    print(f"full joint          : {t_full:7.1f} ms  "
+          f"({b / t_full * 1000:.1f} pairs/s)", flush=True)
+    t_fuse = timed_scan(fuse_only, (ir, vis))
+    print(f"fuse (taps in-loop) : {t_fuse:7.1f} ms", flush=True)
+    print(f"implied seg-on-fused: {t_full - t_fuse:7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

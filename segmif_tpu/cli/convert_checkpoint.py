@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--num_classes", type=int, default=9)
     args = p.parse_args(argv)
 
+    from ..utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     import jax
     import jax.numpy as jnp
 

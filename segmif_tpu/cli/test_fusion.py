@@ -75,7 +75,17 @@ def main(argv=None):
                    help="shard the fusion trunk's image rows over N devices "
                         "(the 1080p/mit_b5 stretch path, exact — "
                         "parallel/spatial.py); 0 = single-device")
+    p.add_argument("--static_guide", default=None, metavar="IMAGE",
+                   help="serving mode: compute the guide's seg-encoder taps "
+                        "ONCE from this image and reuse them for every pair "
+                        "(removes one encoder pass per pair; the reference "
+                        "recomputes the guide features per image, "
+                        "test_fusion.py:100)")
     args = p.parse_args(argv)
+
+    from ..utils.platform import honor_platform_env
+
+    honor_platform_env()
 
     import jax
 
@@ -95,6 +105,24 @@ def main(argv=None):
 
         mesh = make_mesh(data=args.spatial, model=1)
         fuse_fn = jax.jit(make_spatial_fuse_fn(mesh, model))
+    elif args.static_guide:
+        import jax.numpy as jnp
+
+        from ..data.datasets import _load_image
+        from ..models.network import JointPipeline
+
+        guide_img = _load_image(Path(args.static_guide), gray_to_rgb=True)
+        guide01 = jnp.asarray(guide_img, jnp.float32)[None] / 255.0
+        taps = jax.jit(lambda v, g: model.apply(
+            v, g, method=JointPipeline.guide_taps))(variables, guide01)
+
+        @jax.jit
+        def fuse_fn(variables, ir, vis, guide):
+            # per-sample guide ignored; broadcast the precomputed taps
+            b = ir.shape[0]
+            bt = tuple(jnp.broadcast_to(t, (b,) + t.shape[1:]) for t in taps)
+            return model.apply(variables, ir, vis, taps=bt, deterministic=True,
+                               method=JointPipeline.fuse)
     else:
         fuse_fn = jax.jit(make_fuse_fn(model))
     names, fused, _ = generate_fused(

@@ -25,6 +25,10 @@ def main(argv=None):
     p.add_argument("--log_file", default="val_seg.txt")
     args = p.parse_args(argv)
 
+    from ..utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     import jax
 
     from ..data.datasets import MethodFolderDataset

@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--mesh_model", type=int, default=1)
     args = p.parse_args(argv)
 
+    from ..utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     from ..config import TrainConfig, load_yaml
     from ..data.datasets import FusionFolderDataset, SyntheticFusionDataset
     from ..train.interactive import InteractiveTrainer
