@@ -46,15 +46,18 @@ def _tpu_reachable(timeout_s: float = 150.0) -> bool:
     import subprocess
     import sys
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d=jax.devices(); "
-             "print(d[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s)
-        return "tpu" in proc.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    for attempt in range(2):  # one retry: a busy single-core host can
+        try:                  # starve the first probe's plugin init
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); "
+                 "print(d[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if "tpu" in proc.stdout:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+    return False
 
 
 def _enable_compile_cache():

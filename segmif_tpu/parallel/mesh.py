@@ -53,7 +53,10 @@ def _tp_spec_for(path_keys, shape) -> P:
     evenly; everything else is replicated.
     """
     joined = "/".join(path_keys)
-    if not joined.endswith("kernel") or len(shape) < 2:
+    # rank-2 (Dense) kernels only: the name heuristic must not catch conv
+    # kernels that share a module name (e.g. the patch-embed 'proj' convs —
+    # sharding their cin dim is GSPMD-legal but buys only resharding churn)
+    if not joined.endswith("kernel") or len(shape) != 2:
         return P()
     name = path_keys[-2] if len(path_keys) >= 2 else ""
     col_split = name in ("q", "kv", "fc1", "channel_proj1", "channel_proj2",

@@ -1,0 +1,121 @@
+"""Serving: AOT-compiled inference closures and portable StableHLO export.
+
+The reference has no deployment story: inference is an interpreted
+per-image Python loop that reloads checkpoints and recomputes the static
+guide's encoder features for every pair (/root/reference/test_fusion.py:
+100-126, val_performance.py:82-126). This module is the TPU-native
+production surface:
+
+ - ``make_serving_fn``: one jitted closure ``(ir, vis) -> (fused_rgb,
+   pred)`` with the guide's seg-encoder taps precomputed and baked in as
+   XLA constants (the taps come from a STATIC per-dataset guide image, so
+   at inference they are constants, not per-pair work — this removes one
+   full encoder pass from the hot path).
+ - ``export_serving_artifact`` / ``load_serving_artifact``: ``jax.export``
+   serialization of that closure to a self-contained StableHLO artifact
+   (weights baked in as module constants), optionally lowered for several
+   platforms at once (``("tpu", "cpu")``) so the same artifact file runs on
+   a TPU server and on a CPU smoke box. Loading needs only jax — not this
+   package, not flax, not the checkpoint files.
+
+Everything is static-shape by design: a serving deployment picks (batch,
+height, width) at export time, which is exactly what XLA:TPU wants.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def precompute_guide_taps(model, variables, guide_rgb: jnp.ndarray):
+    """Run the seg encoder ONCE on the static guide image.
+
+    Returns the (tap1, tap2) feature maps as concrete device arrays, ready
+    to pass as ``taps=`` to the pipeline (reference recomputes these per
+    image: test_fusion.py:100)."""
+    fn = jax.jit(lambda v, g: model.apply(v, g, method=type(model).guide_taps))
+    return fn(variables, guide_rgb)
+
+
+def make_serving_fn(model, variables, guide_rgb: Optional[jnp.ndarray] = None,
+                    with_seg: bool = True, vis_channel: str = "r"):
+    """Build the jitted serving closure ``(ir, vis) -> outputs``.
+
+    ir: [B,H,W,1] float32 in [0,1]; vis: [B,H,W,3] float32 in [0,1].
+    Outputs: ``(fused_rgb, pred)`` where pred is the int32 class map at
+    full resolution, or just ``fused_rgb`` when ``with_seg=False``.
+
+    When ``guide_rgb`` is given, its taps are computed now and captured as
+    closure constants; otherwise the guide defaults to the VIS frame per
+    pair (the reference's val_fusion behavior when no Mask2 guide exists).
+    """
+    taps = None
+    if guide_rgb is not None:
+        taps = precompute_guide_taps(model, variables, guide_rgb)
+
+    @jax.jit
+    def serve(ir, vis):
+        fused_rgb, _fused_y, logits = model.apply(
+            variables, ir, vis, taps=taps, vis_channel=vis_channel)
+        if not with_seg:
+            return fused_rgb
+        # 1/4-res logits -> full-res class map (Network3._loss upsampling
+        # semantics, reference core/model_fusion.py:1090-1097)
+        logits = jax.image.resize(
+            logits.astype(jnp.float32),
+            (logits.shape[0], ir.shape[1], ir.shape[2], logits.shape[3]),
+            "bilinear")
+        return fused_rgb, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return serve
+
+
+def export_serving_artifact(model, variables, batch: int, height: int,
+                            width: int,
+                            guide_rgb: Optional[jnp.ndarray] = None,
+                            with_seg: bool = True,
+                            vis_channel: str = "r",
+                            platforms: Optional[Sequence[str]] = None
+                            ) -> bytes:
+    """Lower + serialize the serving closure to portable StableHLO bytes.
+
+    Weights (and precomputed guide taps) are baked into the module as
+    constants — the artifact is self-contained. ``platforms`` lowers for
+    several backends in one artifact (e.g. ``("tpu", "cpu")``); lowering
+    for TPU does NOT require TPU hardware.
+    """
+    serve = make_serving_fn(model, variables, guide_rgb=guide_rgb,
+                            with_seg=with_seg, vis_channel=vis_channel)
+    ir_spec = jax.ShapeDtypeStruct((batch, height, width, 1), jnp.float32)
+    vis_spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    exported = jax_export.export(
+        serve, platforms=list(platforms) if platforms else None)(
+            ir_spec, vis_spec)
+    return exported.serialize()
+
+
+def save_serving_artifact(path: str | Path, data: bytes) -> None:
+    Path(path).write_bytes(data)
+
+
+def load_serving_artifact(path: str | Path):
+    """Deserialize an artifact; returns a callable ``(ir, vis) -> outputs``.
+
+    The callable is jit-compatible and runs on whatever platform jax is
+    currently using, provided it was in the artifact's platform list.
+    """
+    exported = jax_export.deserialize(bytearray(Path(path).read_bytes()))
+    return exported.call
+
+
+def serving_input_specs(artifact_path: str | Path
+                        ) -> Tuple[Tuple[Tuple[int, ...], str], ...]:
+    """Inspect an artifact's expected input shapes/dtypes without running it."""
+    exported = jax_export.deserialize(
+        bytearray(Path(artifact_path).read_bytes()))
+    return tuple((tuple(a.shape), str(a.dtype))
+                 for a in exported.in_avals)

@@ -12,6 +12,8 @@ from segmif_tpu.train.checkpoint import (
     load_torch_seg_network,
 )
 
+pytestmark = pytest.mark.slow  # full conversion round-trips take minutes
+
 
 def _fusion_state_dict(rng):
     sd = {}

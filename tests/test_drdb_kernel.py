@@ -42,6 +42,7 @@ def test_grouped_matches_naive(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_naive(setup, monkeypatch):
     x, w = setup
     orig = pd.pl.pallas_call
@@ -52,6 +53,7 @@ def test_pallas_interpret_matches_naive(setup, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_non_tile_multiple_shape(monkeypatch):
     """Shapes that don't divide the tile geometry are padded + masked."""
     rng = np.random.default_rng(1)
@@ -65,6 +67,7 @@ def test_pallas_non_tile_multiple_shape(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grouped_gradient_matches_naive(setup):
     x, w = setup
     x_small = x[:, :48, :48, :]

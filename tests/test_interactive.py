@@ -11,6 +11,8 @@ from segmif_tpu.config import (
 from segmif_tpu.data import SyntheticFusionDataset
 from segmif_tpu.train.interactive import InteractiveTrainer
 
+pytestmark = pytest.mark.slow  # full train rounds: minutes even at mit_b0
+
 
 @pytest.fixture(scope="module")
 def tiny_trainer(tmp_path_factory):

@@ -16,6 +16,8 @@ from segmif_tpu.parallel.mesh import (
     put_replicated,
 )
 
+pytestmark = pytest.mark.slow  # 8-device mesh compiles take minutes on CPU
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -10,6 +10,8 @@ from segmif_tpu.models.fusion import FusionNetwork
 from segmif_tpu.parallel.mesh import make_mesh
 from segmif_tpu.parallel.spatial import spatial_fuse
 
+pytestmark = pytest.mark.slow  # multi-device compiles / full train steps
+
 KEY = jax.random.PRNGKey(0)
 
 

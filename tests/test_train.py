@@ -132,6 +132,7 @@ def test_adamw_poly_grouped_runs():
     assert all(jax.tree.leaves(chex_shapes))
 
 
+@pytest.mark.slow
 def test_remat_model_gradients_match():
     """remat=True recomputes the same math: loss and grads identical."""
     import jax
