@@ -145,7 +145,7 @@ def main():
         # image, so at inference they are constants computed once, not per
         # pair (reference recomputes them per image: test_fusion.py:100).
         taps = jax.jit(lambda v, g: model.apply(
-            v, g, method=JointPipeline.guide_taps))(variables, vis)
+            v, g, method=JointPipeline.guide_taps_raw))(variables, vis)
 
         @jax.jit
         def pipeline_many(variables, taps, ir, vis):

@@ -114,7 +114,7 @@ def main(argv=None):
         guide_img = _load_image(Path(args.static_guide), gray_to_rgb=True)
         guide01 = jnp.asarray(guide_img, jnp.float32)[None] / 255.0
         taps = jax.jit(lambda v, g: model.apply(
-            v, g, method=JointPipeline.guide_taps))(variables, guide01)
+            v, g, method=JointPipeline.guide_taps_raw))(variables, guide01)
 
         @jax.jit
         def fuse_fn(variables, ir, vis, guide):

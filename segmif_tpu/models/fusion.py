@@ -369,8 +369,12 @@ class FusionNetwork(nn.Module):
     """The deployed fusion net (`Fusion_Network3_ac`, model_fusion.py:1026-1067).
 
     ir, vis_y: [B, H, W, >=1] (only channel 0 is used, as in the reference);
-    seg_tap1: [B, H, W, 64] (encoder stage-1 tap); seg_tap2: [B, H, W, 128]
-    (stage-2 tap). Returns fused Y [B, H, W, 1].
+    seg_tap1: encoder stage-1 tap (64 ch), seg_tap2: stage-2 tap (128 ch) —
+    each either at FULL [B, H, W, C] resolution (the reference
+    forward_fusion layout) or at the stage's native resolution (preferred:
+    the 1x1 proj commutes with the bilinear upsample, so the tap is
+    projected cheap at low res and upsampled straight into the trunk
+    layout; same checkpoint weights). Returns fused Y [B, H, W, 1].
 
     interaction: 'both' | 'moam' | 'soam' (FFM variants), 'concat'
     (Fusion_Network3_Con), 'add' (Fusion_Network3_Add), 'none'
@@ -423,7 +427,7 @@ class FusionNetwork(nn.Module):
                      else "phase")
         if trunk != "image":
             from ..kernels.pallas_drdb import (
-                _PHASE_HALO, _phase_strip_for, merge_strips,
+                _PHASE_HALO, _phase_strip_for, _phase_strips, merge_strips,
                 owned_token_weight, phase_merge, phase_split,
                 refresh_strip_halos, split_strips, strip_row_mask)
         tw = mask = None
@@ -469,10 +473,33 @@ class FusionNetwork(nn.Module):
         x1 = drdb_cls(ch, dtype=self.dtype, name="drdb1")(x1, trunk, mask)
         x2 = drdb_cls(ch, dtype=self.dtype, name="drdb2")(x2, trunk, mask)
 
+        def tap_to_trunk(tap, name):
+            """seg tap -> trunk layout. Accepts the tap at FULL resolution
+            (the reference's forward_fusion output, proj applied as-is) or at
+            the encoder stage's NATIVE resolution: a 1x1 conv commutes with
+            bilinear upsampling (both linear; the operator's rows sum to 1 so
+            the bias commutes too), so the SAME checkpoint weights apply at
+            low res — 16x/64x fewer proj FLOPs — and the upsample lands
+            directly in phase layout, skipping a full-res phase transpose."""
+            proj = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT,
+                           dtype=self.dtype, name=name)
+            if tap.shape[1] == ir.shape[1]:   # full-res (reference layout)
+                return to_trunk(proj(tap))
+            s = proj(tap)
+            if trunk == "image":
+                from ..ops.image import resize_bilinear
+
+                return resize_bilinear(s, ir.shape[1:3]).astype(self.dtype)
+            from ..ops.image import resize_bilinear_phase
+
+            sp = resize_bilinear_phase(s, ir.shape[1:3])
+            if trunk == "strips":
+                return _phase_strips(sp, strip, halo)[0]
+            return sp
+
         if self.interaction != "none":
-            s1 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
-                         name="seg_proj1")(seg_tap1)
-            x1, x2 = self._interact(img6(x1), img6(x2), img6(to_trunk(s1)),
+            x1, x2 = self._interact(img6(x1), img6(x2),
+                                    img6(tap_to_trunk(seg_tap1, "seg_proj1")),
                                     ffm, 1, attn_maps, tw)
             x1, x2 = flat4(x1), flat4(x2)
         if trunk == "strips":
@@ -481,9 +508,8 @@ class FusionNetwork(nn.Module):
         x1 = drdb_cls(ch, dtype=self.dtype, name="drdb3")(x1, trunk, mask)
         x2 = drdb_cls(ch, dtype=self.dtype, name="drdb4")(x2, trunk, mask)
         if self.interaction != "none":
-            s2 = nn.Conv(ch, (1, 1), kernel_init=_CONV_INIT, dtype=self.dtype,
-                         name="seg_proj2")(seg_tap2)
-            x1, x2 = self._interact(img6(x1), img6(x2), img6(to_trunk(s2)),
+            x1, x2 = self._interact(img6(x1), img6(x2),
+                                    img6(tap_to_trunk(seg_tap2, "seg_proj2")),
                                     ffm, 2, attn_maps, tw)
             x1, x2 = flat4(x1), flat4(x2)
 

@@ -69,6 +69,14 @@ class SegModel(nn.Module):
         feats = self.encoder(x, deterministic)
         return fusion_taps(feats, x.shape[1:3])
 
+    def encode_taps_raw(self, x: jnp.ndarray, deterministic: bool = True):
+        """Stage-1/2 features at their NATIVE resolution (H/4, H/8) — the
+        fusion net upsamples them itself (proj-at-low-res + phase-layout
+        upsample; same math as encode_fusion_taps + full-res proj, 16x/64x
+        cheaper proj and no full-res phase transpose)."""
+        feats = self.encoder(x, deterministic)
+        return feats[0], feats[1]
+
 
 class SegmentationNetwork(nn.Module):
     """[0,1] RGB in, 1/4-res class logits out (Network3 equivalent).
@@ -104,6 +112,12 @@ class SegmentationNetwork(nn.Module):
         return self.seg.encode_fusion_taps(rgb01.astype(self.dtype),
                                            deterministic)
 
+    def encode_taps_raw(self, rgb01: jnp.ndarray, deterministic: bool = True):
+        """Native-resolution stage-1/2 taps; same raw-[0,1]-input semantics
+        as encode_fusion_taps (no x255/ImageNet normalize)."""
+        return self.seg.encode_taps_raw(rgb01.astype(self.dtype),
+                                        deterministic)
+
 
 class JointPipeline(nn.Module):
     """Full fuse+segment model in one graph.
@@ -135,8 +149,16 @@ class JointPipeline(nn.Module):
         At inference the guide is a STATIC per-dataset image (the reference
         recomputes its encoder features per pair, test_fusion.py:100); in
         serving mode callers precompute this once and pass the result back
-        via `taps=`, removing one full encoder pass from the hot path."""
+        via `taps=`, removing one full encoder pass from the hot path.
+        Full-resolution (reference forward_fusion layout); prefer
+        guide_taps_raw for the hot path — `taps=` accepts either."""
         return self.seg.encode_fusion_taps(guide_rgb, deterministic)
+
+    def guide_taps_raw(self, guide_rgb: jnp.ndarray,
+                       deterministic: bool = True):
+        """Native-resolution guide taps (16x/64x smaller than guide_taps;
+        the fusion net upsamples them into its trunk layout itself)."""
+        return self.seg.encode_taps_raw(guide_rgb, deterministic)
 
     def fuse(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray,
              guide_rgb: Optional[jnp.ndarray] = None,
@@ -160,7 +182,7 @@ class JointPipeline(nn.Module):
         if taps is None:
             if guide_rgb is None:
                 guide_rgb = vis_rgb
-            taps = self.seg.encode_fusion_taps(guide_rgb, deterministic)
+            taps = self.seg.encode_taps_raw(guide_rgb, deterministic)
         tap1, tap2 = taps
         vis_ycrcb = rgb_to_ycrcb(vis_rgb)
         vis_in = (vis_rgb[..., 0:1] if vis_channel == "r"

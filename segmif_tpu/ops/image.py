@@ -17,6 +17,38 @@ IMAGENET_MEAN = jnp.array([123.675, 116.28, 103.53], dtype=jnp.float32)
 IMAGENET_STD = jnp.array([58.395, 57.12, 57.375], dtype=jnp.float32)
 
 
+def bilinear_weight_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """The [n_out, n_in] linear operator of 1-D bilinear resize, extracted by
+    resizing an identity matrix — bit-identical weights to jax.image.resize
+    (half-pixel centers, antialias=False), rows sum to 1. Constant-folded by
+    XLA at trace time (shapes are static)."""
+    eye = jnp.eye(n_in, dtype=jnp.float32)
+    return jax.image.resize(eye, (n_out, n_in), method="bilinear",
+                            antialias=False)
+
+
+def resize_bilinear_phase(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """phase_split(resize_bilinear(x, size)) WITHOUT materializing the
+    full-res image or paying its phase transpose: each 2x2 pixel-parity
+    phase plane of the upsampled image is produced directly by a row/col
+    subset of the bilinear operator, applied as two MXU dots per plane.
+
+    x: [B, h_in, w_in, C]; size: (H, W), both even. Returns
+    [B, 4, H/2, W/2, C] in phase_split order (p = 2*row_parity+col_parity).
+    Same total FLOPs as the full resize (the operator is just row-sliced);
+    saves the [B,H,W,C] intermediate and its ~5.5 ms phase transpose on the
+    fusion trunk's tap path (OPTIMIZATION.md round-2 addendum 3)."""
+    h, w = int(size[0]), int(size[1])
+    wh = bilinear_weight_matrix(x.shape[1], h).astype(x.dtype)
+    ww = bilinear_weight_matrix(x.shape[2], w).astype(x.dtype)
+    planes = []
+    for rp in (0, 1):
+        yr = jnp.einsum("oi,bijc->bojc", wh[rp::2], x)
+        for cp in (0, 1):
+            planes.append(jnp.einsum("bojc,pj->bopc", yr, ww[cp::2]))
+    return jnp.stack(planes, 1)
+
+
 def resize_bilinear(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """Bilinear resize of [..., H, W, C] to [..., size[0], size[1], C].
 

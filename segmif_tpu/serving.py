@@ -34,10 +34,13 @@ from jax import export as jax_export
 def precompute_guide_taps(model, variables, guide_rgb: jnp.ndarray):
     """Run the seg encoder ONCE on the static guide image.
 
-    Returns the (tap1, tap2) feature maps as concrete device arrays, ready
-    to pass as ``taps=`` to the pipeline (reference recomputes these per
-    image: test_fusion.py:100)."""
-    fn = jax.jit(lambda v, g: model.apply(v, g, method=type(model).guide_taps))
+    Returns the (tap1, tap2) feature maps as concrete device arrays at the
+    encoder stages' native resolution (16x/64x smaller than the reference's
+    full-res forward_fusion taps; the fusion net upsamples them into its
+    trunk layout itself), ready to pass as ``taps=`` to the pipeline
+    (reference recomputes these per image: test_fusion.py:100)."""
+    fn = jax.jit(
+        lambda v, g: model.apply(v, g, method=type(model).guide_taps_raw))
     return fn(variables, guide_rgb)
 
 

@@ -137,13 +137,20 @@ def test_joint_pipeline_single_graph():
 
     # serving mode: precomputed guide taps must reproduce the default path
     # exactly (the taps are per-dataset constants at inference —
-    # OPTIMIZATION.md "Next hotspots" #3)
+    # OPTIMIZATION.md "Next hotspots" #3). Raw (native-res) taps are the
+    # default path's own computation -> bit-exact; full-res taps take the
+    # reference forward_fusion layout (proj after upsample) -> fp tolerance.
     guide = jnp.full((1, 64, 64, 3), 0.7)
-    taps = m.apply(variables, guide, method=JointPipeline.guide_taps)
+    raw = m.apply(variables, guide, method=JointPipeline.guide_taps_raw)
     direct = m.apply(variables, ir, vis, guide)
-    served = m.apply(variables, ir, vis, taps=taps)
+    served = m.apply(variables, ir, vis, taps=raw)
     for a, b in zip(direct, served):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    full = m.apply(variables, guide, method=JointPipeline.guide_taps)
+    assert full[0].shape[1] == 64 and raw[0].shape[1] == 16
+    served_full = m.apply(variables, ir, vis, taps=full)
+    for a, b in zip(direct, served_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
 @pytest.mark.parametrize("interaction", ["both", "none", "concat", "add",
@@ -167,3 +174,30 @@ def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
     monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
     got = m.apply(params, ir, vis, tap1, tap2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("force_phase", [False, True])
+def test_fusion_network_lowres_taps_match_fullres(force_phase, monkeypatch):
+    """Native-resolution taps (proj at low res + phase-layout upsample) give
+    the same output as the reference's full-res forward_fusion taps — the
+    1x1 proj commutes with the bilinear upsample, so the SAME weights serve
+    both layouts."""
+    from segmif_tpu.models.fusion import FusionNetwork
+    from segmif_tpu.ops.image import resize_bilinear
+
+    if force_phase:
+        monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
+    else:
+        monkeypatch.delenv("SEGMIF_FORCE_PHASE_TRUNK", raising=False)
+    rng = np.random.default_rng(13)
+    ir = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    vis = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    lo1 = jnp.asarray(rng.normal(size=(2, 12, 16, 16)).astype(np.float32))
+    lo2 = jnp.asarray(rng.normal(size=(2, 6, 8, 24)).astype(np.float32))
+    hi1 = resize_bilinear(lo1, (48, 64))
+    hi2 = resize_bilinear(lo2, (48, 64))
+    m = FusionNetwork(channels=16, num_heads=4)
+    params = m.init(KEY, ir, vis, hi1, hi2)   # same param tree either way
+    ref = m.apply(params, ir, vis, hi1, hi2)
+    got = m.apply(params, ir, vis, lo1, lo2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)

@@ -121,3 +121,19 @@ def test_upsample_bilinear_int_matches_resize():
         got = upsample_bilinear_int(x, s)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+
+
+def test_resize_bilinear_phase_matches_split_of_resize():
+    """resize_bilinear_phase == phase_split(resize_bilinear) — the tap
+    upsampler that lands directly in the fusion trunk's phase layout."""
+    from segmif_tpu.kernels.pallas_drdb import phase_split
+    from segmif_tpu.ops.image import resize_bilinear, resize_bilinear_phase
+
+    rng = np.random.default_rng(11)
+    for (ih, iw), (oh, ow) in (((12, 16), (48, 64)), ((8, 10), (64, 80)),
+                               ((15, 20), (30, 40))):
+        x = jnp.asarray(rng.normal(size=(2, ih, iw, 5)).astype(np.float32))
+        ref = phase_split(resize_bilinear(x, (oh, ow)))
+        got = resize_bilinear_phase(x, (oh, ow))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
