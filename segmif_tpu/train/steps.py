@@ -76,9 +76,13 @@ def make_fusion_train_step(joint_model, tx, round1: bool,
     """
 
     def taps_fn(seg_variables, guide):
+        # native-resolution taps: the fusion net projects them at encoder
+        # res and upsamples straight into its trunk layout (same math as
+        # the reference's full-res forward_fusion taps; models/fusion.py
+        # tap_to_trunk)
         return joint_model.apply(
             seg_variables, guide, True,
-            method=lambda m, g, det: m.seg.encode_fusion_taps(g, det))
+            method=lambda m, g, det: m.seg.encode_taps_raw(g, det))
 
     def step(state: FusionTrainState, seg_variables, batch, fusion_scale):
         tap1, tap2 = taps_fn(seg_variables, batch["guide"])
