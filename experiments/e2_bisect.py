@@ -75,7 +75,7 @@ def main():
         return fr + fy.mean()
 
     # measure + print one at a time so partial results survive a timeout
-    t_fsv = timed_scan(fuse_served, (ir, vis))
+    t_fsv = timed_scan(fuse_served, (ir, vis) + tuple(taps))
     print(f"fuse (served taps)  : {t_fsv:7.1f} ms  => fusion-net core",
           flush=True)
     t_seg = timed_scan(seg_only, (vis,))

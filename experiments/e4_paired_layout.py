@@ -95,11 +95,11 @@ def main():
     # paired, H in parity planes too, strips: [64, 70, 320, 128] -> 320 bd
     t_pair_hp = timed(
         lambda x, w: conv(x, block_diag_weights(w)),
-        [((64, 70, 320, 128), dt), ((3, 3, 128, 160), dt)])
+        [((64, 70, 320, 128), dt), ((3, 3, 64, 160), dt)])
     # paired, H dense with dilation 2, full H strips: [32, 130, 320, 128]
     t_pair_hd = timed(
         lambda x, w: conv(x, block_diag_weights(w), dil=(2, 1)),
-        [((32, 130, 320, 128), dt), ((3, 3, 128, 160), dt)])
+        [((32, 130, 320, 128), dt), ((3, 3, 64, 160), dt)])
     # paired via feature_group_count=2 (grouped-conv lowering)
     def grouped(x, w):
         return lax.conv_general_dilated(
