@@ -334,10 +334,16 @@ def phase_split(x: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, C] -> [B, 4, H/2, W/2, C] pixel-parity phase planes
     (phase index p = 2*row_parity + col_parity). Formulated as middle-dim
     indexing + stack — measured ~16% faster than reshape/transpose on v5e
-    (3.9 vs 4.6 ms at [8,480,640,64] bf16)."""
+    STANDALONE (3.9 vs 4.6 ms at [8,480,640,64] bf16); in-context the
+    opposite can hold (e5 showed it for phase_merge), so the
+    reshape/transpose form is A/B-switchable via SEGMIF_PHASE_SPLIT_RESHAPE."""
+    import os
+
     b, h, wd, c = x.shape
     hp, wp = h // 2, wd // 2
     z = x.reshape(b, hp, 2, wp, 2, c)
+    if os.environ.get("SEGMIF_PHASE_SPLIT_RESHAPE"):
+        return z.transpose(0, 2, 4, 1, 3, 5).reshape(b, 4, hp, wp, c)
     return jnp.stack([z[:, :, i, :, j, :] for i in (0, 1) for j in (0, 1)],
                      1)
 
@@ -444,10 +450,16 @@ def drdb_strips_core(xs: jnp.ndarray, w: Dict,
     g = w["dconv1"]["kernel"].shape[-1]
     c = xs.shape[-1]
     dt = xs.dtype
-    m = m.astype(dt)
+    if m is None:
+        # whole-plane inputs: the conv's SAME zero padding at the plane
+        # border IS the reference's image-border zero padding (phase planes
+        # tile the image by parity), so no re-zeroing is needed
+        relu = jax.nn.relu
+    else:
+        m = m.astype(dt)
 
-    def relu(t):
-        return jax.nn.relu(t) * m
+        def relu(t):
+            return jax.nn.relu(t) * m
 
     ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
     bs = [w[f"dconv{i + 1}"]["bias"].astype(dt) for i in range(5)]
@@ -501,8 +513,19 @@ def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
 def drdb_apply_phase(xp: jnp.ndarray, w: Dict) -> jnp.ndarray:
     """DRDB for phase-layout tensors [B, 4, hp, wp, C] (the persistent
     phase-trunk path in models/fusion.py). Falls back through image space
-    when no qualifying strip divides the phase height."""
-    hp, wp = xp.shape[2], xp.shape[3]
+    when no qualifying strip divides the phase height.
+
+    SEGMIF_DRDB_PHASE_NOSTRIP=1 runs the conv chain on the WHOLE phase
+    planes [B*4, hp, wp, C] instead of halo strips — exact (SAME zero pad at
+    the plane border == the reference's image-border padding in phase
+    space), trades the strip gather/scatter traffic for the slower
+    large-plane conv regime (A/B switch; see OPTIMIZATION.md)."""
+    import os
+
+    b, _, hp, wp, c = xp.shape
+    if os.environ.get("SEGMIF_DRDB_PHASE_NOSTRIP"):
+        out = drdb_strips_core(xp.reshape(b * 4, hp, wp, c), w, None)
+        return out.reshape(b, 4, hp, wp, c)
     strip = _phase_strip_for(hp, wp)
     if strip is not None:
         return drdb_phase_core(xp, w, strip)

@@ -60,16 +60,28 @@ def _round_up(x: int, m: int) -> int:
 def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
                          token_weight=None):
     """Pure-function folded CrossPath ('both' interaction), the ground truth
-    for the Pallas path and its backward. x1, x2, s: [B, N, C] (C = dim);
-    w: raw weight dict (see CrossPath module).
+    for the Pallas path and its backward. x1, x2, s: [B, ..., C] (C = dim) —
+    RANK-POLYMORPHIC: any leading layout (tokens [B, N, C], phase planes
+    [B, 4, hp, wp, C], strips) works, because every op touches only the
+    channel dim. Keeping the caller's layout matters on TPU: materializing a
+    [B, N, C] token tensor lets XLA assign it a transposed {1,2,0} layout to
+    serve the gram dots, which costs 4 full-tensor relayout reshapes
+    (~5.5 ms each at 480x640 b8 — the largest single ops in the round-2
+    profile; see OPTIMIZATION.md round-2 addendum 7).
 
-    token_weight ([1|B, N], optional, 0/1): rows with weight 0 are dropped
-    from the relu projections (fused into the proj elementwise chain, so
-    the gram reductions count each image pixel exactly once); their OUTPUT
-    rows become meaningless (bias-only) — callers must refresh or drop such
-    rows afterwards (the strip-persistent fusion trunk's halo rows are)."""
+    token_weight ([1|B, N], optional, 0/1, rank-3 inputs only): rows with
+    weight 0 are dropped from the relu projections (fused into the proj
+    elementwise chain, so the gram reductions count each image pixel exactly
+    once); their OUTPUT rows become meaningless (bias-only) — callers must
+    refresh or drop such rows afterwards (the strip-persistent fusion
+    trunk's halo rows are)."""
     dim = x1.shape[-1]
     dt = x1.dtype
+    lead = "uvxy"[:x1.ndim - 2]  # einsum letters for the leading layout
+    gspec = f"b{lead}c,b{lead}d->bcd"
+    aspec = f"b{lead}c,bcd->b{lead}d"
+    if token_weight is not None and x1.ndim != 3:
+        raise ValueError("token_weight requires [B, N, C] token inputs")
     tw = (None if token_weight is None
           else token_weight[..., None].astype(dt))
 
@@ -84,7 +96,7 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
     y3, u3 = proj(s, 3)
 
     def gram(t):
-        return jnp.einsum("bnc,bnd->bcd", t, t,
+        return jnp.einsum(gspec, t, t,
                           preferred_element_type=jnp.float32)
 
     bd_s = linear_ctx_blockdiag_from_gram(gram(u3), w["wkv3"], scale,
@@ -106,11 +118,11 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
         return (nrm * w[f"ln{i}_scale"].astype(jnp.float32)
                 + w[f"ln{i}_bias"].astype(jnp.float32)).astype(dt)
 
-    o1 = (jnp.einsum("bnc,bcd->bnd", y3, fold(bd_1, w["we1"][:dim]))
-          + jnp.einsum("bnc,bcd->bnd", u1, fold(bd_s, w["we1"][dim:]))
+    o1 = (jnp.einsum(aspec, y3, fold(bd_1, w["we1"][:dim]))
+          + jnp.einsum(aspec, u1, fold(bd_s, w["we1"][dim:]))
           + w["be1"].astype(dt))
-    o2 = (jnp.einsum("bnc,bcd->bnd", y3, fold(bd_2, w["we2"][:dim]))
-          + jnp.einsum("bnc,bcd->bnd", u2, fold(bd_s, w["we2"][dim:]))
+    o2 = (jnp.einsum(aspec, y3, fold(bd_2, w["we2"][:dim]))
+          + jnp.einsum(aspec, u2, fold(bd_s, w["we2"][dim:]))
           + w["be2"].astype(dt))
     return ln(x1 + o1, 1), ln(x2 + o2, 2)
 
@@ -333,5 +345,11 @@ def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int,
 
     if (token_weight is None and os.environ.get("SEGMIF_FFM_PALLAS")
             and _on_tpu()):
+        if x1.ndim > 3:  # the fused kernel tiles [B, N, C] tokens
+            shp = x1.shape
+            flat = lambda t: t.reshape(shp[0], -1, t.shape[-1])  # noqa: E731
+            o1, o2 = crosspath_fused(flat(x1), flat(x2), flat(s), w, scale,
+                                     num_heads)
+            return o1.reshape(shp), o2.reshape(shp)
         return crosspath_fused(x1, x2, s, w, scale, num_heads)
     return crosspath_folded_xla(x1, x2, s, w, scale, num_heads, token_weight)

@@ -345,19 +345,29 @@ class FeatureFusionModule(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, seg, token_weight=None):
-        # shape-agnostic token flattening: works for image [B, H, W, C],
-        # phase [B, 4, hp, wp, C], and strip [B, 4, n, rows, wp, C] layouts
-        # alike (the attention math is token-order-invariant; strip layouts
-        # pass token_weight to keep the gram reductions exact over the
-        # duplicated/stale halo rows)
+        import os
+
+        cross = CrossPath(self.dim, self.num_heads, self.interaction,
+                          self.dtype, self.return_context, name="cross")
+        # The deployed folded path is RANK-POLYMORPHIC (every op touches only
+        # the channel dim), so phase/strip layouts pass through UNRESHAPED:
+        # materializing a [B, N, C] token tensor lets XLA pick a transposed
+        # {1,2,0} layout for it (serving the gram dots) at the price of four
+        # full-tensor relayouts, ~22 ms/step at 480x640 b8 — the top ops of
+        # the round-2 profile (OPTIMIZATION.md round-2 addendum 7). Opt back
+        # into token flattening with SEGMIF_FFM_TOKENS=1 (A/B switch).
+        if (self.interaction == "both" and not self.return_context
+                and token_weight is None
+                and not os.environ.get("SEGMIF_FFM_TOKENS")):
+            return cross(x1, x2, seg, None)
+        # modular / context-returning / token-weighted paths flatten to
+        # tokens (their per-head attention modules index [B, N, C])
         shp = x1.shape
         b, c = shp[0], shp[-1]
         t1 = x1.reshape(b, -1, c)
         t2 = x2.reshape(b, -1, c)
         ts = seg.reshape(b, -1, seg.shape[-1])
-        out = CrossPath(self.dim, self.num_heads, self.interaction,
-                        self.dtype, self.return_context,
-                        name="cross")(t1, t2, ts, token_weight)
+        out = cross(t1, t2, ts, token_weight)
         t1 = out[0].reshape(shp)
         t2 = out[1].reshape(shp)
         if self.return_context:
