@@ -22,9 +22,15 @@ before printing anything, rc=124):
 Modes (default is the north-star single-chip number):
   --mesh_data N   DP-scaling microbench: shard batch over an N-device data
                   mesh (pairs/sec aggregate + per-chip).
-  --serving       serving mode: guide taps precomputed outside the loop
+  --serving       serving mode ONLY: guide taps precomputed outside the loop
                   (per-dataset constants at inference; see
                   OPTIMIZATION.md "Next hotspots" #3).
+
+A plain `python bench.py` run emits BOTH modes — one serving-mode JSON line
+first, then the default-mode provisional + final lines — so the official
+artifact captures the number matching the reference's actual deployment
+semantics (static per-dataset guide, test_fusion.py:100) alongside the
+default. The driver parses the LAST line, which stays the default mode.
 """
 from __future__ import annotations
 
@@ -140,28 +146,31 @@ def main():
     # between iterations): remote-execution tunnels make per-call
     # block_until_ready unreliable, and per-call dispatch would pollute the
     # steady-state number anyway.
-    if args.serving:
-        # Serving mode: the guide taps come from a STATIC per-dataset guide
-        # image, so at inference they are constants computed once, not per
-        # pair (reference recomputes them per image: test_fusion.py:100).
-        taps = jax.jit(lambda v, g: model.apply(
-            v, g, method=JointPipeline.guide_taps_raw))(variables, vis)
+    def build_run(serving: bool):
+        if serving:
+            # Serving mode: the guide taps come from a STATIC per-dataset
+            # guide image, so at inference they are constants computed once,
+            # not per pair (reference recomputes them per image:
+            # test_fusion.py:100).
+            taps = jax.jit(lambda v, g: model.apply(
+                v, g, method=JointPipeline.guide_taps_raw))(variables, vis)
 
-        @jax.jit
-        def pipeline_many(variables, taps, ir, vis):
-            def body(carry, _):
-                carry_ir, carry_vis = carry
-                fused_rgb, fused_y, logits = model.apply(
-                    variables, carry_ir, carry_vis, taps=taps)
-                pred = jnp.argmax(logits, axis=-1)
-                eps = jnp.mean(fused_y) * 1e-7
-                return (carry_ir + eps, carry_vis + eps), (jnp.sum(pred),
-                                                           jnp.mean(fused_rgb))
-            carry, outs = jax.lax.scan(body, (ir, vis), None, length=iters)
-            return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
+            @jax.jit
+            def pipeline_many(variables, taps, ir, vis):
+                def body(carry, _):
+                    carry_ir, carry_vis = carry
+                    fused_rgb, fused_y, logits = model.apply(
+                        variables, carry_ir, carry_vis, taps=taps)
+                    pred = jnp.argmax(logits, axis=-1)
+                    eps = jnp.mean(fused_y) * 1e-7
+                    return (carry_ir + eps, carry_vis + eps), (
+                        jnp.sum(pred), jnp.mean(fused_rgb))
+                carry, outs = jax.lax.scan(body, (ir, vis), None,
+                                           length=iters)
+                return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
 
-        run = lambda: float(pipeline_many(variables, taps, ir, vis))
-    else:
+            return lambda: float(pipeline_many(variables, taps, ir, vis))
+
         @jax.jit
         def pipeline_many(variables, ir, vis):
             def body(carry, _):
@@ -178,29 +187,43 @@ def main():
             carry, outs = jax.lax.scan(body, (ir, vis), None, length=iters)
             return jnp.sum(carry[0], dtype=jnp.float32) + outs[1][-1]
 
-        run = lambda: float(pipeline_many(variables, ir, vis))
+        return lambda: float(pipeline_many(variables, ir, vis))
 
-    extra = ""
-    if args.serving:
-        extra += ", serving/precomputed-taps"
+    base_extra = ""
+    if not on_tpu:
+        # a wedged tunnel must not masquerade as a chip number
+        base_extra += ", OFF-TPU CPU FALLBACK (tiny shapes, not comparable)"
     if n_chips > 1:
-        extra += f", DP x{n_chips} (per-chip value)"
+        base_extra += f", DP x{n_chips} (per-chip value)"
 
-    run()  # compile + warmup (single rep)
-    t0 = time.perf_counter()
-    run()  # host fetch = real barrier
-    dt_first = time.perf_counter() - t0
-    _emit(h, w, batch, batch * iters / dt_first / n_chips, backbone,
-          provisional=True, extra=extra)
-
-    times = [dt_first]
-    for _ in range(2):
+    def measure(serving: bool, provisional_line: bool):
+        run = build_run(serving)
+        extra = (", serving/precomputed-taps" if serving else "") + base_extra
+        run()  # compile + warmup (single rep)
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    _emit(h, w, batch, batch * iters / dt / n_chips, backbone,
-          extra=extra)
+        run()  # host fetch = real barrier
+        dt_first = time.perf_counter() - t0
+        if provisional_line:
+            _emit(h, w, batch, batch * iters / dt_first / n_chips, backbone,
+                  provisional=True, extra=extra)
+        times = [dt_first]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        _emit(h, w, batch, batch * iters / dt / n_chips, backbone,
+              extra=extra)
+
+    if args.serving:
+        measure(serving=True, provisional_line=True)
+    elif n_chips > 1:
+        measure(serving=False, provisional_line=True)
+    else:
+        # official artifact: serving line first, default mode LAST (the
+        # driver parses the final line)
+        measure(serving=True, provisional_line=False)
+        measure(serving=False, provisional_line=True)
 
 
 if __name__ == "__main__":

@@ -62,8 +62,10 @@ def main(argv=None):
           f"spatial shards={args.spatial}")
 
     mesh = make_mesh(data=args.spatial, model=1)
+    # jax>=0.9 CPU backend cannot execute bf16xbf16 dots
+    dt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = JointPipeline(cfg.backbone, cfg.data.num_classes,
-                          cfg.embedding_dim, dtype=jnp.bfloat16)
+                          cfg.embedding_dim, dtype=dt)
 
     t0 = time.perf_counter()
     rng = jax.random.PRNGKey(0)

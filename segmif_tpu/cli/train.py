@@ -37,11 +37,17 @@ def main(argv=None):
                         "(recompute-for-HBM; for full-res large batches)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--compute_dtype", default=None,
+                   choices=("bfloat16", "float32"),
+                   help="activation dtype; default bfloat16 on TPU, float32 "
+                        "on CPU (jax>=0.9 CPU backend cannot execute "
+                        "bf16xbf16 dots)")
     args = p.parse_args(argv)
 
     from ..utils.platform import honor_platform_env
 
     honor_platform_env()
+    import jax
 
     from ..config import TrainConfig, load_yaml
     from ..data.datasets import FusionFolderDataset, SyntheticFusionDataset
@@ -71,6 +77,10 @@ def main(argv=None):
         cfg.data.crop_size = args.crop_size
     if args.remat:
         cfg.remat = True
+    if args.compute_dtype:
+        cfg.compute_dtype = args.compute_dtype
+    elif jax.default_backend() == "cpu" and cfg.compute_dtype == "bfloat16":
+        cfg.compute_dtype = "float32"
     cfg.mesh_data = args.mesh_data
     cfg.mesh_model = args.mesh_model
 

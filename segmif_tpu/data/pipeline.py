@@ -33,12 +33,23 @@ class Prefetcher:
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  num_threads: int = 4, prefetch_depth: int = 4,
                  shard_by_process: bool = True, drop_last: bool = True,
-                 loop: bool = True, use_native: bool = True):
+                 loop: bool = True, use_native: bool = True,
+                 start_batch: int = 0):
+        """start_batch fast-forwards the deterministic batch sequence: batch
+        k of a Prefetcher(seed=s, start_batch=k) is batch k of
+        Prefetcher(seed=s, start_batch=0) — the hook mid-phase training
+        resume uses to replay the uninterrupted data order. The epoch-e
+        shuffle is a pure function of (seed, e), so fast-forwarding costs
+        nothing. Ignored on the native-loader path (its shuffle order lives
+        in C++); resuming callers pass use_native=False."""
         self.ds = dataset
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.start_batch = start_batch
         self.loop = loop
         self.drop_last = drop_last
+        if start_batch:
+            use_native = False
         idx = np.arange(len(dataset))
         if shard_by_process and jax.process_count() > 1:
             idx = idx[jax.process_index()::jax.process_count()]
@@ -95,14 +106,22 @@ class Prefetcher:
         }
 
     def _producer(self):
+        nb_per_epoch = max(len(self.indices) // self.batch_size, 1)
+        epoch = self.start_batch // nb_per_epoch
+        skip = self.start_batch % nb_per_epoch
         while not self._stop.is_set():
-            order = self.rng.permutation(self.indices)
+            # epoch order is a pure function of (seed, epoch) so a resumed
+            # run replays the identical batch sequence
+            order = np.random.default_rng(
+                [self.seed, epoch]).permutation(self.indices)
             nb = len(order) // self.batch_size
-            for b in range(nb):
+            for b in range(skip, nb):
                 if self._stop.is_set():
                     return
                 batch_idx = order[b * self.batch_size:(b + 1) * self.batch_size]
                 self._q.put(self._load_batch(batch_idx))
+            skip = 0
+            epoch += 1
             if not self.loop:
                 self._q.put(None)
                 return

@@ -334,9 +334,10 @@ def phase_split(x: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, C] -> [B, 4, H/2, W/2, C] pixel-parity phase planes
     (phase index p = 2*row_parity + col_parity). Formulated as middle-dim
     indexing + stack — measured ~16% faster than reshape/transpose on v5e
-    STANDALONE (3.9 vs 4.6 ms at [8,480,640,64] bf16); in-context the
-    opposite can hold (e5 showed it for phase_merge), so the
-    reshape/transpose form is A/B-switchable via SEGMIF_PHASE_SPLIT_RESHAPE."""
+    STANDALONE (3.9 vs 4.6 ms at [8,480,640,64] bf16) AND in-context (e7
+    round-3: 146.4 vs 155.8 ms fusion core). The reshape/transpose form
+    stays A/B-switchable via SEGMIF_PHASE_SPLIT_RESHAPE, read at TRACE time
+    (flipping it after jit has no effect; fresh jit per variant)."""
     import os
 
     b, h, wd, c = x.shape
@@ -438,6 +439,15 @@ def refresh_strip_halos(xs: jnp.ndarray, b: int, strip: int,
     return x6.reshape(xs.shape)
 
 
+def drdb_plane_core(xs: jnp.ndarray, w: Dict) -> jnp.ndarray:
+    """DRDB conv chain on WHOLE phase planes [B*4, hp, wp, C] (no halo
+    strips). No re-zeroing mask is needed: the conv's SAME zero padding at
+    the plane border IS the reference's image-border zero padding (phase
+    planes tile the image by parity). Strips callers must use
+    drdb_strips_core, which requires an explicit in-image row mask."""
+    return _drdb_chain(xs, w, jax.nn.relu)
+
+
 def drdb_strips_core(xs: jnp.ndarray, w: Dict,
                      m: jnp.ndarray) -> jnp.ndarray:
     """DRDB conv chain on halo strips [B*4*n, rows, wp, C] with in-image row
@@ -446,20 +456,26 @@ def drdb_strips_core(xs: jnp.ndarray, w: Dict,
     keep real neighbour rows). Returns strips of the same shape; the outer
     `halo` rows lose one row of validity per conv (stale after 5) — callers
     either drop them (_strips_phase) or refresh them (refresh_strip_halos)
-    before the next conv consumer."""
+    before the next conv consumer. m is REQUIRED: a strips-layout call
+    without the image-border re-zeroing mask would silently corrupt border
+    numerics (whole-plane inputs go through drdb_plane_core instead)."""
+    if m is None:
+        raise ValueError(
+            "drdb_strips_core requires the in-image row mask; whole-plane "
+            "inputs (no halo rows) go through drdb_plane_core")
+    m = m.astype(xs.dtype)
+
+    def relu(t):
+        return jax.nn.relu(t) * m
+
+    return _drdb_chain(xs, w, relu)
+
+
+def _drdb_chain(xs: jnp.ndarray, w: Dict, relu) -> jnp.ndarray:
+    """Shared dil-1 DRDB conv chain (strips and whole-plane layouts)."""
     g = w["dconv1"]["kernel"].shape[-1]
     c = xs.shape[-1]
     dt = xs.dtype
-    if m is None:
-        # whole-plane inputs: the conv's SAME zero padding at the plane
-        # border IS the reference's image-border zero padding (phase planes
-        # tile the image by parity), so no re-zeroing is needed
-        relu = jax.nn.relu
-    else:
-        m = m.astype(dt)
-
-        def relu(t):
-            return jax.nn.relu(t) * m
 
     ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
     bs = [w[f"dconv{i + 1}"]["bias"].astype(dt) for i in range(5)]
@@ -519,12 +535,14 @@ def drdb_apply_phase(xp: jnp.ndarray, w: Dict) -> jnp.ndarray:
     planes [B*4, hp, wp, C] instead of halo strips — exact (SAME zero pad at
     the plane border == the reference's image-border padding in phase
     space), trades the strip gather/scatter traffic for the slower
-    large-plane conv regime (A/B switch; see OPTIMIZATION.md)."""
+    large-plane conv regime. A/B switch, read at TRACE time (flipping it
+    after jit has no effect; build a fresh jit per variant). Measured
+    SLOWER on v5e: 172.5 vs 146.4 ms fusion core (e7, round-3)."""
     import os
 
     b, _, hp, wp, c = xp.shape
     if os.environ.get("SEGMIF_DRDB_PHASE_NOSTRIP"):
-        out = drdb_strips_core(xp.reshape(b * 4, hp, wp, c), w, None)
+        out = drdb_plane_core(xp.reshape(b * 4, hp, wp, c), w)
         return out.reshape(b, 4, hp, wp, c)
     strip = _phase_strip_for(hp, wp)
     if strip is not None:

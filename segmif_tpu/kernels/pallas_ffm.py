@@ -58,7 +58,7 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------- folded XLA
 
 def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
-                         token_weight=None):
+                         token_weight=None, psum_axis=None):
     """Pure-function folded CrossPath ('both' interaction), the ground truth
     for the Pallas path and its backward. x1, x2, s: [B, ..., C] (C = dim) —
     RANK-POLYMORPHIC: any leading layout (tokens [B, N, C], phase planes
@@ -69,21 +69,34 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
     (~5.5 ms each at 480x640 b8 — the largest single ops in the round-2
     profile; see OPTIMIZATION.md round-2 addendum 7).
 
-    token_weight ([1|B, N], optional, 0/1, rank-3 inputs only): rows with
+    token_weight (optional, 0/1, broadcastable against x1's leading dims —
+    e.g. [1|B, N] for tokens, [1|B, 4, n, rows, wp] for strips): rows with
     weight 0 are dropped from the relu projections (fused into the proj
     elementwise chain, so the gram reductions count each image pixel exactly
     once); their OUTPUT rows become meaningless (bias-only) — callers must
     refresh or drop such rows afterwards (the strip-persistent fusion
-    trunk's halo rows are)."""
+    trunk's halo rows, spatial parallelism's pad rows).
+
+    psum_axis (optional): a shard_map axis name over which the token set is
+    sharded; the gram partial sums are `psum`ed so every shard applies the
+    identical GLOBAL context — spatially-sharded attention stays exact
+    (parallel/spatial.py)."""
     dim = x1.shape[-1]
     dt = x1.dtype
+    if x1.ndim - 2 > 4:
+        raise ValueError(
+            "crosspath_folded_xla supports at most 4 leading layout dims "
+            f"(got input rank {x1.ndim})")
     lead = "uvxy"[:x1.ndim - 2]  # einsum letters for the leading layout
     gspec = f"b{lead}c,b{lead}d->bcd"
     aspec = f"b{lead}c,bcd->b{lead}d"
-    if token_weight is not None and x1.ndim != 3:
-        raise ValueError("token_weight requires [B, N, C] token inputs")
-    tw = (None if token_weight is None
-          else token_weight[..., None].astype(dt))
+    tw = None
+    if token_weight is not None:
+        tw = token_weight[..., None].astype(dt)
+        if tw.ndim != x1.ndim:
+            raise ValueError(
+                f"token_weight rank {token_weight.ndim} does not match "
+                f"input leading dims (input rank {x1.ndim})")
 
     def proj(x, i):
         r = jax.nn.relu(x @ w[f"wp{i}"].astype(dt) + w[f"bp{i}"].astype(dt))
@@ -96,8 +109,11 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
     y3, u3 = proj(s, 3)
 
     def gram(t):
-        return jnp.einsum(gspec, t, t,
-                          preferred_element_type=jnp.float32)
+        g = jnp.einsum(gspec, t, t,
+                       preferred_element_type=jnp.float32)
+        if psum_axis is not None:
+            g = jax.lax.psum(g, psum_axis)
+        return g
 
     bd_s = linear_ctx_blockdiag_from_gram(gram(u3), w["wkv3"], scale,
                                           num_heads)

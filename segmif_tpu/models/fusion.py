@@ -355,11 +355,18 @@ class FeatureFusionModule(nn.Module):
         # {1,2,0} layout for it (serving the gram dots) at the price of four
         # full-tensor relayouts, ~22 ms/step at 480x640 b8 — the top ops of
         # the round-2 profile (OPTIMIZATION.md round-2 addendum 7). Opt back
-        # into token flattening with SEGMIF_FFM_TOKENS=1 (A/B switch).
+        # into token flattening with SEGMIF_FFM_TOKENS=1 (A/B switch; read
+        # at TRACE time — flipping it after a function is jitted has no
+        # effect, each variant needs a fresh jit. Measured SLOWER on v5e:
+        # 153.2 vs 146.4 ms fusion core, e7 round-3).
         if (self.interaction == "both" and not self.return_context
-                and token_weight is None
                 and not os.environ.get("SEGMIF_FFM_TOKENS")):
-            return cross(x1, x2, seg, None)
+            tw = token_weight
+            if tw is not None and tw.ndim != x1.ndim - 1:
+                # flat [1|B, N] weight -> the caller's leading layout, so the
+                # strip-persistent trunk keeps its layout through the FFM
+                tw = tw.reshape((tw.shape[0],) + x1.shape[1:-1])
+            return cross(x1, x2, seg, tw)
         # modular / context-returning / token-weighted paths flatten to
         # tokens (their per-head attention modules index [B, N, C])
         shp = x1.shape
@@ -428,13 +435,19 @@ class FusionNetwork(nn.Module):
         trunk = "image"
         if not self.return_attention and _use_phase_trunk(ir.shape[1],
                                                           ir.shape[2]):
-            # 'strips' (FFM on strip tokens, no plane<->strip transitions)
-            # measured SLOWER than 'phase' on v5e — the larger masked token
-            # set costs more than the transitions saved (OPTIMIZATION.md);
-            # kept as an opt-in for future revisits
-            trunk = ("strips" if (os.environ.get("SEGMIF_STRIPS_TRUNK")
-                                  and self.interaction not in ("moam", "soam"))
-                     else "phase")
+            # 'strips' is the DEFAULT since round 3: with the folded FFM
+            # weight-aware (crosspath_folded_xla token_weight in strip
+            # layout), the trunk keeps the strip layout through the
+            # attention rounds — zero plane<->strip transitions — measured
+            # 139.6 vs 152.5 ms fusion core on v5e (e9; round 2 measured
+            # the opposite only because token_weight then forced the FFM
+            # onto the token-flattening path). moam/soam use phase planes
+            # (their modular attention has no gram weight);
+            # SEGMIF_NO_STRIPS_TRUNK=1 opts back into the phase trunk
+            # (trace-time A/B switch).
+            trunk = ("phase" if (os.environ.get("SEGMIF_NO_STRIPS_TRUNK")
+                                 or self.interaction in ("moam", "soam"))
+                     else "strips")
         if trunk != "image":
             from ..kernels.pallas_drdb import (
                 _PHASE_HALO, _phase_strip_for, _phase_strips, merge_strips,

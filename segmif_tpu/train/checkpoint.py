@@ -2,9 +2,17 @@
 torch checkpoints.
 
 Replaces torch.save/load of two fixed paths
-(/root/reference/train.py:237-243,402-407) with Orbax checkpoints of the
-full train state ({params, batch_stats, opt_state, step, dwa buffer}), plus
-`load_torch_*` converters that map the reference's .pth key layout onto this
+(/root/reference/train.py:237-243,402-407). Two kinds of checkpoints exist:
+
+ - role checkpoints (`fusion_params`, `seg_params`): params (+ batch_stats
+   for seg) only — the serving/eval artifacts, mirroring the reference's
+   two .pth files;
+ - mid-phase checkpoints (`{role}_phase_r{N}`): the FULL train state
+   ({params, batch_stats, opt_state, step, dwa buffer, best-mIoU gate}),
+   written by InteractiveTrainer._save_phase so an interrupted phase
+   resumes its exact trajectory.
+
+`load_torch_*` converters map the reference's .pth key layout onto this
 framework's param trees (needed for numerical-parity evals; the dead
 `ffm2.*` params in the fusion checkpoint are dropped — see SURVEY.md §2.8).
 """

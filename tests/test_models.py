@@ -176,6 +176,35 @@ def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("flag", ["SEGMIF_FFM_TOKENS",
+                                  "SEGMIF_DRDB_PHASE_NOSTRIP",
+                                  "SEGMIF_PHASE_SPLIT_RESHAPE",
+                                  "SEGMIF_NO_STRIPS_TRUNK"])
+def test_layout_ab_flags_match_default(flag, monkeypatch):
+    """Every layout A/B env switch (measured slower on v5e and kept only as
+    an experiment toggle — OPTIMIZATION.md round-3) is numerically EXACT vs
+    the default path. NOTE: these flags are read at trace time; each apply
+    below builds a fresh trace, which is the only supported way to flip
+    them (advisor round-2 #3/#4)."""
+    from segmif_tpu.models.fusion import FusionNetwork
+
+    rng = np.random.default_rng(17)
+    ir = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    vis = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    tap1 = jnp.asarray(rng.normal(size=(2, 48, 64, 16)).astype(np.float32))
+    tap2 = jnp.asarray(rng.normal(size=(2, 48, 64, 24)).astype(np.float32))
+    m = FusionNetwork(channels=16, num_heads=4)
+    params = m.init(KEY, ir, vis, tap1, tap2)
+    # the flags only have consumers on the phase trunk (TPU default);
+    # force it on so the CPU test exercises the real code paths
+    monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
+    monkeypatch.delenv(flag, raising=False)
+    ref = m.apply(params, ir, vis, tap1, tap2)
+    monkeypatch.setenv(flag, "1")
+    got = m.apply(params, ir, vis, tap1, tap2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("force_phase", [False, True])
 def test_fusion_network_lowres_taps_match_fullres(force_phase, monkeypatch):
     """Native-resolution taps (proj at low res + phase-layout upsample) give
