@@ -86,31 +86,34 @@ def main(serving=True):
     float(jnp.sum(out))
     jax.profiler.stop_trace()
 
-    tbl = hlo_stats(TRACE_DIR)
-    # rows: list of dicts (column schema from xprof); normalize
-    rows = tbl if isinstance(tbl, list) else tbl.get("data", tbl)
-    print(f"hlo_stats rows: {len(rows)}")
-    # aggregate by category column if present, else dump top rows
+    obj = hlo_stats(TRACE_DIR)
+    # gviz table: {cols: [{label}], rows: [{c: [{v}]}]}
+    cols = [c["label"] if isinstance(c, dict) else c for c in obj["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
     per_cat = collections.Counter()
     parsed = []
-    for r in rows:
-        if isinstance(r, dict):
-            cat = r.get("hlo_op_category") or r.get("category") or "?"
-            t_us = float(r.get("total_time_us") or r.get("self_time_us")
-                         or r.get("occurrences_total_time_us") or 0.0)
-            name = (r.get("hlo_op_expression") or r.get("hlo_op_name")
-                    or "?")
-            src = r.get("source_info") or ""
-            parsed.append((t_us, cat, name, src))
-            per_cat[cat] += t_us
+    for r in obj["rows"]:
+        c = [x.get("v") if isinstance(x, dict) else x for x in r["c"]]
+        cat = c[idx["HLO op category"]] or "?"
+        t_us = float(c[idx["Total self time (us)"]] or 0.0)
+        name = c[idx["Framework op name"]] or c[idx["HLO op name"]]
+        bound = c[idx["Bound by"]]
+        gfs = float(c[idx["Normalized GFLOP/s"]] or 0.0)
+        bw = float(c[idx["Measured memory BW (GiB/s)"]] or 0.0)
+        per_cat[cat] += t_us
+        parsed.append((t_us, cat, name, bound, gfs, bw))
     parsed.sort(reverse=True)
     total = sum(per_cat.values())
-    print(f"\n== categories (3 dispatches, total {total/1000:.1f} ms) ==")
+    DISP = 3  # traced dispatches
+    print(f"\n== categories (total {total/DISP/1000:.1f} ms/step) ==")
     for cat, us in per_cat.most_common():
-        print(f"  {cat:30s} {us/3000:7.2f} ms/step ({us/total*100:4.1f}%)")
-    print("\n== top 30 ops (ms/step) ==")
-    for t_us, cat, name, src in parsed[:30]:
-        print(f"  {t_us/3000:7.3f} [{cat[:18]:18s}] {name[:90]} | {src[:60]}")
+        print(f"  {cat:30s} {us/DISP/1000:7.2f} ms/step "
+              f"({us/total*100:4.1f}%)")
+    print("\n== top 40 ops (ms/step) ==")
+    for t_us, cat, name, bound, gfs, bw in parsed[:40]:
+        print(f"  {t_us/DISP/1000:7.3f} [{str(cat)[:16]:16s}] "
+              f"bound={bound:8s} {gfs:8.0f}GF/s {bw:6.0f}GiB/s "
+              f"{str(name)[:85]}")
 
 
 if __name__ == "__main__":

@@ -37,6 +37,10 @@ def main(argv=None):
                         "(recompute-for-HBM; for full-res large batches)")
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--streaming", action="store_true",
+                   help="don't stack splits into host RAM (decode per batch;"
+                        " fused images in a disk memmap) — for datasets "
+                        "larger than FMB/MFNet scale")
     p.add_argument("--compute_dtype", default=None,
                    choices=("bfloat16", "float32"),
                    help="activation dtype; default bfloat16 on TPU, float32 "
@@ -77,6 +81,8 @@ def main(argv=None):
         cfg.data.crop_size = args.crop_size
     if args.remat:
         cfg.remat = True
+    if args.streaming:
+        cfg.streaming = True
     if args.compute_dtype:
         cfg.compute_dtype = args.compute_dtype
     elif jax.default_backend() == "cpu" and cfg.compute_dtype == "bfloat16":

@@ -94,6 +94,12 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoint"
     pretrained_dir: str = "./pretrained"
     dump_fused_images: bool = False    # optional PNG dump for inspection
+    streaming: bool = False  # don't stack splits into host RAM: batches are
+                             # decoded on demand (Prefetcher threads /
+                             # NativeLoader) and the regenerated fused
+                             # images live in a disk memmap
+                             # (train/streaming.py) — for datasets larger
+                             # than FMB/MFNet scale
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     remat: bool = False   # rematerialize encoder blocks + fusion DRDB/FFM in

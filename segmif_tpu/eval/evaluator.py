@@ -76,13 +76,20 @@ def _append_eval_log(path: str, tag: str, result: Dict) -> None:
 
 def generate_fused(fuse_fn: Callable, variables, dataset,
                    batch_size: int = 4, out_dir: Optional[str | Path] = None,
-                   quantize_like_reference: bool = False):
+                   quantize_like_reference: bool = False,
+                   sink: Optional[Callable] = None):
     """Fuse a whole dataset. dataset yields (name, ir, vis, guide, label).
 
     Returns (names, fused_rgb01 [N,H,W,3] float32 np, labels [N,H,W] int32).
     If out_dir is set, also writes PNGs (the reference's Mask/ dump,
-    val_performance.py:461-466)."""
+    val_performance.py:461-466).
+
+    sink (optional): `sink(start, fused_np, guide_np)` called per batch
+    (fused/guide both [b,H,W,3] float01, `start` the dataset index of the
+    batch's first sample) INSTEAD of accumulating — the streaming trainer's
+    constant-RAM path; the returned fused array is then None."""
     all_names, all_fused, all_labels = [], [], []
+    start = 0
     for names, count, (ir, vis, guide, label) in iterate_eval(dataset,
                                                               batch_size):
         ir_y = jnp.asarray(ir[..., 0:1]).astype(jnp.float32) / 255.0
@@ -94,10 +101,15 @@ def generate_fused(fuse_fn: Callable, variables, dataset,
             write_fused_batch(out_dir, names, fused_np,
                               quantize_like_reference)
         all_names.extend(names)
-        all_fused.append(fused_np)
+        if sink is not None:
+            sink(start, fused_np, np.asarray(guide_j[:count], np.float32))
+        else:
+            all_fused.append(fused_np)
         if label is not None:
             all_labels.append(np.asarray(label[:count], np.int32))
-    fused = np.concatenate(all_fused) if all_fused else np.zeros((0,))
+        start += count
+    fused = (np.concatenate(all_fused) if all_fused
+             else None if sink is not None else np.zeros((0,)))
     labels = np.concatenate(all_labels) if all_labels else None
     return all_names, fused, labels
 

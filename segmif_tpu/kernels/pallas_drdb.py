@@ -357,22 +357,37 @@ def phase_merge(xp: jnp.ndarray) -> jnp.ndarray:
 
 
 def strip_row_mask(b: int, n: int, strip: int, halo: int,
-                   hp: int) -> jnp.ndarray:
+                   hp: int, valid_rows=None) -> jnp.ndarray:
     """In-image row mask [B*4*n, rows, 1, 1] (f32) for phase halo strips:
     0 on rows beyond the true image top/bottom, 1 elsewhere (incl. interior
-    halo rows, which hold real neighbour data)."""
+    halo rows, which hold real neighbour data).
+
+    valid_rows (optional (lo, hi), IMAGE-row coords of the pre-phase-split
+    tensor; static ints or traced scalars): restrict validity to image rows
+    [lo, hi) — for halo-extended shard blocks of a larger image (spatial
+    parallelism), where the block's out-of-image rows are not [0, H). The
+    per-phase row parity is accounted for (phase p covers image rows
+    2*gl + p//2), so odd bounds are exact."""
     rows = strip + 2 * halo
     ridx = jnp.arange(rows)[None, :] - halo
-    gl = ridx + jnp.arange(n)[:, None] * strip
-    ok = ((gl >= 0) & (gl < hp)).astype(jnp.float32)          # [n, rows]
-    m = jnp.broadcast_to(ok[None, None], (b, 4, n, rows))
+    gl = ridx + jnp.arange(n)[:, None] * strip                # [n, rows]
+    ok = (gl >= 0) & (gl < hp)
+    if valid_rows is None:
+        m = jnp.broadcast_to(ok[None, None].astype(jnp.float32),
+                             (b, 4, n, rows))
+    else:
+        lo, hi = valid_rows
+        parity = jnp.array([0, 0, 1, 1])[:, None, None]       # image-row
+        img = 2 * gl[None] + parity                           # [4, n, rows]
+        ok4 = ok[None] & (img >= lo) & (img < hi)
+        m = jnp.broadcast_to(ok4[None].astype(jnp.float32), (b, 4, n, rows))
     return m.reshape(b * 4 * n, rows, 1, 1)
 
 
-def _phase_strips(xp: jnp.ndarray, strip: int, halo: int):
+def _phase_strips(xp: jnp.ndarray, strip: int, halo: int, valid_rows=None):
     """[B, 4, hp, wp, C] -> halo-extended H-strips [B*4*n, strip+2*halo, wp,
     C] plus the in-image row mask [B*4*n, rows, 1, 1] (f32). Row-window
-    gathers only — no phase transposes."""
+    gathers only — no phase transposes. valid_rows: see strip_row_mask."""
     b, _, hp, wp, c = xp.shape
     n = hp // strip
     rows = strip + 2 * halo
@@ -381,7 +396,7 @@ def _phase_strips(xp: jnp.ndarray, strip: int, halo: int):
         [xpad[:, :, i * strip:i * strip + rows] for i in range(n)],
         2)  # [B, 4, n, rows, wp, C]
     xs = xs.reshape(b * 4 * n, rows, wp, c)
-    return xs, strip_row_mask(b, n, strip, halo, hp)
+    return xs, strip_row_mask(b, n, strip, halo, hp, valid_rows)
 
 
 def _strips_phase(ys: jnp.ndarray, b: int, strip: int, halo: int):
@@ -514,14 +529,23 @@ def _drdb_chain(xs: jnp.ndarray, w: Dict, relu) -> jnp.ndarray:
     return xs + jax.nn.relu(y + w["bottleneck"]["bias"].astype(dt))
 
 
-def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
+def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int,
+                    valid_rows=None) -> jnp.ndarray:
     """DRDB on an already phase-split tensor [B, 4, hp, wp, C] (strip/halo
     handling internal; only cheap row-window gathers touch HBM layout).
     EXACT: same math as drdb_xla on the merged image, incl. the reference's
-    per-conv zero padding at the true image border."""
+    per-conv zero padding at the true image border (or, with valid_rows
+    (lo, hi), at the given image-row bounds — the spatial-parallel
+    halo-extended-block case)."""
     b = xp.shape[0]
     halo = _PHASE_HALO
-    xs, m = _phase_strips(xp, strip, halo)
+    xs, m = _phase_strips(xp, strip, halo, valid_rows)
+    if valid_rows is not None:
+        # a shard block's out-of-image rows hold live data (conv bias
+        # ripple from the halo-extended producer) — pre-mask the input like
+        # drdb_grouped_xla's edge_mask does (with valid_rows=None the
+        # out-of-image rows are _phase_strips' zero padding already)
+        xs = xs * m.astype(xs.dtype)
     out = drdb_strips_core(xs, w, m)
     return _strips_phase(out, b, strip, halo)
 
@@ -582,20 +606,31 @@ def drdb_phase_xla(x: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
     return phase_merge(drdb_phase_core(phase_split(x), w, strip))
 
 
-def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto") -> jnp.ndarray:
+def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto",
+               valid_rows=None) -> jnp.ndarray:
     """mode: 'auto' (phase-strip XLA on TPU when the geometry allows, else
     grouped XLA; pallas if SEGMIF_DRDB_PALLAS=1 on TPU), 'phase', 'grouped',
-    'pallas', 'naive'."""
+    'pallas', 'naive'.
+
+    valid_rows (optional (lo, hi), static ints or traced scalars): treat
+    only image rows [lo, hi) of x as in-image — out-of-range rows (a spatial
+    shard's halo-extended block reaching beyond the global image, or row
+    padding) are re-zeroed around every conv, exactly the reference's zero
+    padding at the true boundary. Supported by the phase and grouped paths
+    (naive/pallas fall through to grouped when set); this is what lets
+    parallel/spatial.py route through the SAME dispatcher as the model
+    trunk."""
     import os
 
-    if mode == "naive":
+    if mode == "naive" and valid_rows is None:
         return drdb_xla(x, w)
     if mode == "pallas" or (mode == "auto"
                             and os.environ.get("SEGMIF_DRDB_PALLAS")):
         from .attention import _on_tpu
 
-        if _on_tpu() and supports(x.shape, x.shape[-1],
-                                  w["dconv1"]["kernel"].shape[-1]):
+        if (valid_rows is None and _on_tpu()
+                and supports(x.shape, x.shape[-1],
+                             w["dconv1"]["kernel"].shape[-1])):
             return drdb_pallas(x, w)
     if mode == "phase" or (mode == "auto"
                            and not os.environ.get("SEGMIF_DRDB_NO_PHASE")):
@@ -605,5 +640,11 @@ def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto") -> jnp.ndarray:
         if (mode == "phase" or _on_tpu()) and h % 2 == 0 and wd % 2 == 0:
             strip = _phase_strip_for(h // 2, wd // 2)
             if strip is not None:
-                return drdb_phase_xla(x, w, strip)
+                return phase_merge(drdb_phase_core(
+                    phase_split(x), w, strip, valid_rows))
+    if valid_rows is not None:
+        lo, hi = valid_rows
+        r = jnp.arange(x.shape[1])
+        em = ((r >= lo) & (r < hi)).astype(x.dtype)[None, :, None, None]
+        return drdb_grouped_xla(x, w, edge_mask=em)
     return drdb_grouped_xla(x, w)

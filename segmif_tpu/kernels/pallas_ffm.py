@@ -57,6 +57,28 @@ def _round_up(x: int, m: int) -> int:
 
 # ---------------------------------------------------------------- folded XLA
 
+def folded_weights_from_params(p: Dict) -> Dict:
+    """CrossPath param tree (the {channel_proj*, cross_attn, cross_attn2,
+    end_proj*, norm*} tree models.fusion.CrossPath creates — e.g.
+    variables['params']['fusion']['ffm']['cross']) -> the folded weight dict
+    crosspath_folded_xla consumes. Lets non-Flax callers (parallel/
+    spatial.py's shard_map forward) run the SAME folded compute path as the
+    model."""
+    w = {}
+    for i in (1, 2, 3):
+        cp = p[f"channel_proj{i}"]
+        w[f"wp{i}"], w[f"bp{i}"] = cp["kernel"], cp["bias"]
+    w["wkv3"] = p["cross_attn"]["kv_seg"]["kernel"]
+    w["wkv1"] = p["cross_attn2"]["kv1"]["kernel"]
+    w["wkv2"] = p["cross_attn2"]["kv2"]["kernel"]
+    for i in (1, 2):
+        w[f"we{i}"] = p[f"end_proj{i}"]["kernel"]
+        w[f"be{i}"] = p[f"end_proj{i}"]["bias"]
+        w[f"ln{i}_scale"] = p[f"norm{i}"]["scale"]
+        w[f"ln{i}_bias"] = p[f"norm{i}"]["bias"]
+    return w
+
+
 def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
                          token_weight=None, psum_axis=None):
     """Pure-function folded CrossPath ('both' interaction), the ground truth

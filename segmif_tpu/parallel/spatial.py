@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..kernels.pallas_drdb import drdb_grouped_xla
+from ..kernels.pallas_drdb import drdb_apply
+from ..kernels.pallas_ffm import (
+    crosspath_folded_xla,
+    folded_weights_from_params,
+)
 
 # Receptive-field halo of the fusion trunk up to a given point:
 # conv1 (3x3, reach 1) + DRDB (5 dilated convs, reach 10) per round.
@@ -70,71 +74,6 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
-def _linear_cross_attention_sharded(q, k, v, scale, axis_name,
-                                    token_weight=None):
-    """Exact linear cross-attention over the GLOBAL token set: local k^T v
-    partial sums -> psum -> softmax -> q @ ctx. q,k,v: [N_local, H, D].
-    token_weight ([N_local], 0/1) drops padding tokens from the gram so a
-    row-padded image attends identically to the unpadded one."""
-    if token_weight is not None:
-        k = k * token_weight[:, None, None].astype(k.dtype)
-    ctx = jnp.einsum("mhd,mhe->hde", k, v) * scale
-    ctx = jax.lax.psum(ctx, axis_name)
-    ctx = jax.nn.softmax(ctx.astype(jnp.float32), axis=-2).astype(q.dtype)
-    return jnp.einsum("nhd,hde->nhe", q, ctx)
-
-
-def _crosspath_sharded(w: Dict, x1, x2, seg, num_heads, axis_name,
-                       token_weight=None):
-    """CrossPath forward (models/fusion.py CrossPath) on row-sharded token
-    blocks. x1/x2/seg: [N_local, C]."""
-    dim = x1.shape[-1]
-    h = num_heads
-    d = dim // h
-    scale = d**-0.5
-
-    def dense(name, t):
-        return t @ w[name]["kernel"].astype(t.dtype) + w[name]["bias"].astype(t.dtype)
-
-    def dense_nb(sub, name, t):
-        return t @ w[sub][name]["kernel"].astype(t.dtype)
-
-    y1, u1 = jnp.split(jax.nn.relu(dense("channel_proj1", x1)), 2, -1)
-    y2, u2 = jnp.split(jax.nn.relu(dense("channel_proj2", x2)), 2, -1)
-    y3, u3 = jnp.split(jax.nn.relu(dense("channel_proj3", seg)), 2, -1)
-
-    n = x1.shape[0]
-    kv3 = dense_nb("cross_attn", "kv_seg", u3)
-    k3 = kv3[..., :dim].reshape(n, h, d)
-    v3 = kv3[..., dim:].reshape(n, h, d)
-    v1 = _linear_cross_attention_sharded(
-        u1.reshape(n, h, d), k3, v3, scale, axis_name,
-        token_weight).reshape(n, dim)
-    v2 = _linear_cross_attention_sharded(
-        u2.reshape(n, h, d), k3, v3, scale, axis_name,
-        token_weight).reshape(n, dim)
-
-    def kv_attend(name, src):
-        kv = dense_nb("cross_attn2", name, src)
-        kk = kv[..., :dim].reshape(n, h, d)
-        vv = kv[..., dim:].reshape(n, h, d)
-        return _linear_cross_attention_sharded(
-            y3.reshape(n, h, d), kk, vv, scale, axis_name,
-            token_weight).reshape(n, dim)
-
-    z1 = kv_attend("kv1", y1)
-    z2 = kv_attend("kv2", y2)
-
-    def ln(name, t):
-        mean = jnp.mean(t.astype(jnp.float32), -1, keepdims=True)
-        var = jnp.var(t.astype(jnp.float32), -1, keepdims=True)
-        nrm = (t.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
-        return (nrm * w[name]["scale"] + w[name]["bias"]).astype(t.dtype)
-
-    o1 = dense("end_proj1", jnp.concatenate([z1, v1], -1))
-    o2 = dense("end_proj2", jnp.concatenate([z2, v2], -1))
-    return ln("norm1", x1 + o1), ln("norm2", x2 + o2)
-
 
 def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
                             num_heads: int, axis_name: str,
@@ -152,21 +91,31 @@ def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
     shard_idx = jax.lax.axis_index(axis_name)
     h_global = true_h if true_h is not None else rows_local * n_shards
 
-    def edge_mask(halo: int):
-        """[1, rows_local+2*halo, 1, 1] in-image row indicator for a
-        halo-extended block — zeroes the rows the reference's per-conv zero
-        padding would zero at the global image boundary."""
-        g = (shard_idx * rows_local - halo
-             + jnp.arange(rows_local + 2 * halo))
-        ok = (g >= 0) & (g < h_global)
-        return ok.astype(ir.dtype)[None, :, None, None]
+    def block_valid_rows(halo: int):
+        """(lo, hi) block-local bounds of the in-image rows for a
+        halo-extended block — row r of the block is global row
+        shard_idx*rows_local - halo + r; valid iff the global row is inside
+        [0, h_global). drdb_apply re-zeroes outside this interval around
+        every conv, the reference's zero padding at the true boundary."""
+        g0 = shard_idx * rows_local - halo
+        return -g0, h_global - g0
 
+    def edge_mask(halo: int):
+        """[rows_local+2*halo, 1, 1] in-image row indicator (tail convs)."""
+        lo, hi = block_valid_rows(halo)
+        r = jnp.arange(rows_local + 2 * halo)
+        return ((r >= lo) & (r < hi)).astype(ir.dtype)[:, None, None]
+
+    # DRDBs route through the SAME dispatcher as the model trunk
+    # (kernels.pallas_drdb.drdb_apply): on TPU the phase-strip formulation,
+    # elsewhere grouped XLA — with valid_rows standing in for the global
+    # image boundary of this shard's halo-extended block.
     def trunk(x, conv_name, drdb_name):
         xh = _exchange_halo(x, _HALO, axis_name)
         y = _prelu(_conv(xh, params[conv_name]["kernel"],
                          params[conv_name]["bias"]), alpha)
-        y = drdb_grouped_xla(y[None], params[drdb_name],
-                             edge_mask=edge_mask(_HALO))[0]
+        y = drdb_apply(y[None], params[drdb_name],
+                       valid_rows=block_valid_rows(_HALO))[0]
         return _crop_halo(y, _HALO)
 
     x1 = trunk(ir[..., 0:1], "conv1_ir", "drdb1")
@@ -175,25 +124,35 @@ def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
     def seg_proj(name, t):
         return _conv(t, params[name]["kernel"], params[name]["bias"])
 
+    # the FFM rounds run the SAME folded CrossPath as the model
+    # (kernels.pallas_ffm.crosspath_folded_xla): the gram partial sums are
+    # psum'd over the shard axis so every shard applies the identical
+    # GLOBAL attention context — exact, not an approximation. Pad rows are
+    # dropped from the grams via token_weight; their (bias-only) output
+    # rows are re-masked by the next conv's valid_rows.
+    ffm_w = folded_weights_from_params(params["ffm"]["cross"])
+    dim = ffm_w["we1"].shape[-1]
+    scale = (dim // num_heads)**-0.5
+
     def ffm(x1, x2, s):
-        rl, wd, c = x1.shape
         tw = None
         if true_h is not None:
-            rows_ok = (shard_idx * rl + jnp.arange(rl)) < h_global
-            tw = jnp.repeat(rows_ok, wd).astype(x1.dtype)
-        t1, t2 = _crosspath_sharded(params["ffm"]["cross"],
-                                    x1.reshape(rl * wd, c),
-                                    x2.reshape(rl * wd, c),
-                                    s.reshape(rl * wd, s.shape[-1]),
-                                    num_heads, axis_name, tw)
-        return t1.reshape(rl, wd, c), t2.reshape(rl, wd, c)
+            rows_ok = (shard_idx * rows_local
+                       + jnp.arange(rows_local)) < h_global
+            tw = jnp.broadcast_to(rows_ok[None, :, None],
+                                  (1,) + x1.shape[:2]).astype(x1.dtype)
+        o1, o2 = crosspath_folded_xla(x1[None], x2[None], s[None], ffm_w,
+                                      scale, num_heads, token_weight=tw,
+                                      psum_axis=axis_name)
+        return o1[0], o2[0]
 
     x1, x2 = ffm(x1, x2, seg_proj("seg_proj1", tap1))
 
     def drdb_h(x, name):
         xh = _exchange_halo(x, _HALO, axis_name)
-        return _crop_halo(drdb_grouped_xla(
-            xh[None], params[name], edge_mask=edge_mask(_HALO))[0], _HALO)
+        return _crop_halo(drdb_apply(
+            xh[None], params[name],
+            valid_rows=block_valid_rows(_HALO))[0], _HALO)
 
     x1 = drdb_h(x1, "drdb3")
     x2 = drdb_h(x2, "drdb4")
@@ -201,7 +160,7 @@ def _fusion_forward_sharded(params: Dict, ir, vis_y, tap1, tap2,
 
     y = jnp.concatenate([x1, x2], axis=-1)
     yh = _exchange_halo(y, 3, axis_name)
-    m3 = edge_mask(3)[0]
+    m3 = edge_mask(3)
     # each conv's input is masked at out-of-image rows (the reference's
     # per-conv zero padding at the global boundary)
     y = _prelu(_conv(yh * m3, params["conv2"]["kernel"],

@@ -134,8 +134,16 @@ class InteractiveTrainer:
         self.model = JointPipeline(cfg.backbone, cfg.data.num_classes,
                                    cfg.embedding_dim, dtype=dtype,
                                    remat=cfg.remat)
-        self.train_data = _stack_dataset(train_dataset)
-        self.val_data = _stack_dataset(val_dataset)
+        if cfg.streaming:
+            from .streaming import StreamingFusionData
+
+            self.train_data = StreamingFusionData(
+                train_dataset, cfg.checkpoint_dir, "train")
+            self.val_data = StreamingFusionData(
+                val_dataset, cfg.checkpoint_dir, "val")
+        else:
+            self.train_data = _stack_dataset(train_dataset)
+            self.val_data = _stack_dataset(val_dataset)
         self.fuse_fn = jax.jit(make_fuse_fn(self.model))
         self.segment_fn = jax.jit(make_segment_fn(self.model))
         self.best_miou = -1.0
@@ -249,6 +257,11 @@ class InteractiveTrainer:
                           (self.val_data, out_val)):
             # taps + fusion target come from the STATIC guide (data.guide,
             # the reference's Mask2/); only data.fused is refreshed
+            if self.cfg.streaming:
+                ssim_val = self._regenerate_streaming(
+                    variables, data, out, want_ssim=data is self.val_data,
+                ) or ssim_val
+                continue
             names, fused, _ = generate_fused(
                 self.fuse_fn, variables, data, batch_size=4, out_dir=out)
             if data is self.val_data:
@@ -265,6 +278,31 @@ class InteractiveTrainer:
             "(val SSIM vs static guide: %.4f)",
             round_idx, len(self.train_data), len(self.val_data),
             ssim_val if ssim_val is not None else float("nan"))
+
+    def _regenerate_streaming(self, variables, data, out_dir,
+                              want_ssim: bool):
+        """Constant-RAM regenerate: each fused batch is written straight
+        into the dataset's uint8 disk memmap (train/streaming.py), and the
+        val SSIM vs the static guide is accumulated per batch (exact —
+        equal image sizes, count-weighted windows)."""
+        _, ir0, *_ = data[0]
+        h, w = ir0.shape[0], ir0.shape[1]
+        fused_mm = data.ensure_fused(h, w)
+        stats = {"ssim_sum": 0.0, "n": 0}
+
+        def sink(start, fused_np, guide_np):
+            fused_mm[start:start + len(fused_np)] = _to_uint8(fused_np)
+            if want_ssim:
+                from ..eval.evaluator import fusion_quality_eval
+
+                q = fusion_quality_eval(fused_np, guide_np)
+                stats["ssim_sum"] += q["ssim"] * len(fused_np)
+                stats["n"] += len(fused_np)
+
+        generate_fused(self.fuse_fn, variables, data, batch_size=4,
+                       out_dir=out_dir, sink=sink)
+        fused_mm.flush()
+        return stats["ssim_sum"] / stats["n"] if stats["n"] else None
 
     def train_seg_phase(self, round_idx: int):
         cfg = self.cfg

@@ -141,3 +141,35 @@ def test_drdb_phase_core_matches_naive(setup):
     ref = pd.drdb_xla(x, w)
     got = pd.phase_merge(pd.drdb_apply_phase(pd.phase_split(x), w))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("lo,hi", [(0, 96), (16, 80), (16, 81), (3, 77)])
+def test_drdb_apply_valid_rows_phase_matches_grouped(setup, lo, hi):
+    """drdb_apply(valid_rows=...) must give identical results on the phase
+    and grouped paths — incl. ODD row bounds, where the per-phase row
+    parity matters (the spatial-parallel halo-extended-block case, where
+    out-of-interval rows hold live producer data that must be re-zeroed
+    around every conv)."""
+    x, w = setup
+    r = jnp.arange(x.shape[1])
+    em = ((r >= lo) & (r < hi)).astype(x.dtype)[None, :, None, None]
+    ref = pd.drdb_grouped_xla(x, w, edge_mask=em)
+    got = pd.drdb_apply(x, w, mode="phase", valid_rows=(lo, hi))
+    # compare only the in-image rows (out-of-interval output rows are
+    # unspecified garbage in both paths, masked by the consumer)
+    np.testing.assert_allclose(np.asarray(got)[:, lo:hi],
+                               np.asarray(ref)[:, lo:hi], atol=1e-5)
+
+
+def test_drdb_apply_valid_rows_traced():
+    """valid_rows as traced scalars (jax.lax.axis_index in shard_map) must
+    trace and match the static-bound result."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 64, 32, 16)).astype(np.float32))
+    w = _weights(rng, c=16, g=8)
+    ref = pd.drdb_apply(x, w, mode="phase", valid_rows=(10, 50))
+    got = jax.jit(lambda x, lo, hi: pd.drdb_apply(
+        x, w, mode="phase", valid_rows=(lo, hi)))(x, jnp.int32(10),
+                                                  jnp.int32(50))
+    np.testing.assert_allclose(np.asarray(got)[:, 10:50],
+                               np.asarray(ref)[:, 10:50], atol=1e-6)

@@ -142,3 +142,47 @@ def test_checkpoint_roundtrip(tiny_trainer):
     tiny_trainer.load_checkpoints()
     after = np.asarray(tiny_trainer.params["fusion"]["conv22"]["bias"])
     np.testing.assert_allclose(after, np.asarray(before), atol=1e-7)
+
+
+def test_streaming_trainer_folder_dataset(tmp_path):
+    """TrainConfig.streaming: the trainer runs off a FOLDER dataset with no
+    whole-split RAM stacking (_stack_dataset never called); the regenerated
+    fused images live in a disk memmap and feed the seg phase + eval
+    (VERDICT round-2 #7)."""
+    import numpy as np
+
+    from segmif_tpu.data.datasets import (
+        FusionFolderDataset,
+        SyntheticFusionDataset,
+    )
+    from segmif_tpu.eval.image_io import save_png
+    from segmif_tpu.train import interactive as ia
+
+    root = tmp_path / "data"
+    src = SyntheticFusionDataset(n=4, size=(64, 64))
+    for i in range(len(src)):
+        n, ir, vis, g, lab = src[i]
+        for d, a in (("Infrared", ir), ("Visible", vis), ("Mask2", g),
+                     ("Label", lab)):
+            save_png(root / d / n, a.astype(np.uint8))
+    train_ds = FusionFolderDataset(root)
+    val_ds = FusionFolderDataset(root)
+
+    cfg = _resume_cfg(tmp_path / "ck")
+    cfg.streaming = True
+
+    def boom(*a, **k):
+        raise AssertionError("_stack_dataset called on the streaming path")
+
+    orig = ia._stack_dataset
+    ia._stack_dataset = boom
+    try:
+        t = InteractiveTrainer(cfg, train_ds, val_ds)
+        result = t.run()
+    finally:
+        ia._stack_dataset = orig
+    assert 0.0 <= result["best_mIoU"] <= 1.0
+    # the fused handoff is a disk memmap, refreshed by regenerate_fused
+    assert (tmp_path / "ck" / "fused_train.u8").exists()
+    assert t.train_data.fused.shape == (4, 64, 64, 3)
+    assert t.train_data.fused.dtype == np.uint8
