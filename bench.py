@@ -97,10 +97,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mesh_data", type=int, default=0,
                         help="DP scaling: shard batch over N devices")
+    parser.add_argument("--mesh_model", type=int, default=0,
+                        help="TP cost probe: shard params over N devices "
+                             "(PARALLELISM.md TP table; CPU mesh ok)")
     parser.add_argument("--serving", action="store_true",
                         help="precompute guide taps outside the loop")
     parser.add_argument("--iters", type=int, default=16)
     parser.add_argument("--batch", type=int, default=0)
+    parser.add_argument("--backbone", default="",
+                        help="override the backbone (e.g. mit_b3 for a "
+                             "flagship-scale TP probe on the CPU mesh)")
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -120,7 +126,7 @@ def main():
     batch = args.batch or (8 if on_tpu else 1)
     iters = args.iters if on_tpu else 2
 
-    backbone = "mit_b3" if on_tpu else "mit_b0"
+    backbone = args.backbone or ("mit_b3" if on_tpu else "mit_b0")
     model = JointPipeline(backbone, num_classes=9, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     ir = jax.random.uniform(rng, (batch, h, w, 1), jnp.float32)
@@ -128,7 +134,22 @@ def main():
     variables = model.init(rng, ir[:1], vis[:1])
 
     n_chips = 1
-    if args.mesh_data > 1:
+    if args.mesh_model > 1:
+        # TP cost probe (PARALLELISM.md "Tensor parallelism"): params
+        # sharded over the model axis, batch replicated. Quantifies whether
+        # TP HELPS at this model size (expected: no — 45.6 M params fit one
+        # chip; the collectives are pure overhead). Throughput is reported
+        # per-replica (not divided by N: all N devices serve ONE stream).
+        from segmif_tpu.parallel.mesh import (
+            make_mesh, param_shardings, put_replicated)
+
+        mesh = make_mesh(data=1, model=args.mesh_model)
+        variables = jax.device_put(
+            variables, param_shardings(mesh, variables,
+                                       tensor_parallel=True))
+        ir = put_replicated(mesh, ir)
+        vis = put_replicated(mesh, vis)
+    elif args.mesh_data > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from segmif_tpu.parallel.mesh import make_mesh
@@ -195,6 +216,8 @@ def main():
         base_extra += ", OFF-TPU CPU FALLBACK (tiny shapes, not comparable)"
     if n_chips > 1:
         base_extra += f", DP x{n_chips} (per-chip value)"
+    if args.mesh_model > 1:
+        base_extra += f", TP x{args.mesh_model} (one stream over N devices)"
 
     def measure(serving: bool, provisional_line: bool):
         run = build_run(serving)
@@ -217,7 +240,7 @@ def main():
 
     if args.serving:
         measure(serving=True, provisional_line=True)
-    elif n_chips > 1:
+    elif n_chips > 1 or args.mesh_model > 1:
         measure(serving=False, provisional_line=True)
     else:
         # official artifact: serving line first, default mode LAST (the

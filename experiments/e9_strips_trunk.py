@@ -61,13 +61,16 @@ def main():
         return fr + fy.mean()
 
     # measured 2026-08-19 (v5e, raw served taps): phase 152.5 ms / strips
-    # 139.6 ms -> strips became the default; flag is now the opt-OUT
+    # 139.6 ms with the OLD (slice-materializing) FFM fold -> strips was
+    # briefly the default; e10 then measured the no-half-materialization
+    # fold at phase 134.1 / strips-best 142.1, flipping the default back
+    # to phase (SEGMIF_STRIPS_TRUNK=1 is now the opt-IN).
     combos = [
-        ("phase trunk", {"SEGMIF_NO_STRIPS_TRUNK": "1"}),
-        ("strips trunk + weighted folded FFM (default)", {}),
+        ("phase trunk (default)", {}),
+        ("strips trunk + weighted folded FFM", {"SEGMIF_STRIPS_TRUNK": "1"}),
     ]
     for name, env in combos:
-        os.environ.pop("SEGMIF_NO_STRIPS_TRUNK", None)
+        os.environ.pop("SEGMIF_STRIPS_TRUNK", None)
         os.environ.update(env)
         t = timed_scan(fuse_served, (ir, vis) + tuple(taps))
         print(f"{name:38s}: {t:7.1f} ms  ({b / t * 1000:.1f} pairs/s core)",

@@ -31,6 +31,7 @@ Backward: custom_vjp recomputes through the XLA reference chain.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -449,6 +450,15 @@ def refresh_strip_halos(xs: jnp.ndarray, b: int, strip: int,
     z = jnp.zeros((b, 4, 1, halo, wp, c), xs.dtype)
     top = jnp.concatenate([z, owned[:, :, :n - 1, strip - halo:]], axis=2)
     bot = jnp.concatenate([owned[:, :, 1:, :halo], z], axis=2)
+    # Two dynamic-update-slice copies. The hlo_stats self-times made these
+    # look like 2.4 + 2.2 ms of avoidable traffic (round-3 addendum 3), but
+    # the single-concat form measured SLOWER in-context (e10: 145.4 vs
+    # 142.1 ms — the concat materializes the full tensor where the DUS pair
+    # fuses into consumers). SEGMIF_HALOS_CONCAT=1 (trace-time A/B) keeps
+    # the concat form for re-measurement.
+    if os.environ.get("SEGMIF_HALOS_CONCAT"):
+        out = jnp.concatenate([top, owned, bot], axis=3)
+        return out.reshape(xs.shape)
     x6 = x6.at[:, :, :, :halo].set(top)
     x6 = x6.at[:, :, :, halo + strip:].set(bot)
     return x6.reshape(xs.shape)

@@ -80,7 +80,8 @@ def folded_weights_from_params(p: Dict) -> Dict:
 
 
 def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
-                         token_weight=None, psum_axis=None):
+                         token_weight=None, psum_axis=None,
+                         gram_slice=None):
     """Pure-function folded CrossPath ('both' interaction), the ground truth
     for the Pallas path and its backward. x1, x2, s: [B, ..., C] (C = dim) —
     RANK-POLYMORPHIC: any leading layout (tokens [B, N, C], phase planes
@@ -91,13 +92,25 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
     (~5.5 ms each at 480x640 b8 — the largest single ops in the round-2
     profile; see OPTIMIZATION.md round-2 addendum 7).
 
+    The half-projections y_i/u_i are NEVER materialized: the grams are
+    [2C, 2C] blocks of the full r_i gram, and the context applications are
+    K=2C matmuls against zero-padded [2C, C] folded matrices — the r-half
+    slice round-trips were 4.4 ms + extra HBM reads in the round-3 profile
+    (OPTIMIZATION.md addendum 3).
+
     token_weight (optional, 0/1, broadcastable against x1's leading dims —
-    e.g. [1|B, N] for tokens, [1|B, 4, n, rows, wp] for strips): rows with
-    weight 0 are dropped from the relu projections (fused into the proj
-    elementwise chain, so the gram reductions count each image pixel exactly
-    once); their OUTPUT rows become meaningless (bias-only) — callers must
-    refresh or drop such rows afterwards (the strip-persistent fusion
-    trunk's halo rows, spatial parallelism's pad rows).
+    e.g. [1|B, N] for tokens): rows with weight 0 are dropped from the GRAM
+    reductions (each image pixel counted exactly once); their OUTPUT rows
+    are NOT masked and are meaningless — callers must refresh or drop such
+    rows afterwards (spatial parallelism's pad rows).
+
+    gram_slice (optional, callable t -> t'): an alternative to token_weight
+    when the dropped rows form a static slice of the leading layout — the
+    gram reads the sliced view directly instead of materializing a weight
+    broadcast. NOTE measured SLOWER in-context than the weight multiply on
+    the strips trunk (e10: XLA materializes the strided row window), so it
+    is opt-in (SEGMIF_STRIPS_GRAM_SLICE). Output rows outside the slice
+    are meaningless, as with token_weight.
 
     psum_axis (optional): a shard_map axis name over which the token set is
     sharded; the gram partial sums are `psum`ed so every shard applies the
@@ -121,31 +134,44 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
                 f"input leading dims (input rank {x1.ndim})")
 
     def proj(x, i):
-        r = jax.nn.relu(x @ w[f"wp{i}"].astype(dt) + w[f"bp{i}"].astype(dt))
-        if tw is not None:
-            r = r * tw
-        return r[..., :dim], r[..., dim:]
+        return jax.nn.relu(x @ w[f"wp{i}"].astype(dt)
+                           + w[f"bp{i}"].astype(dt))
 
-    y1, u1 = proj(x1, 1)
-    y2, u2 = proj(x2, 2)
-    y3, u3 = proj(s, 3)
+    r1 = proj(x1, 1)
+    r2 = proj(x2, 2)
+    r3 = proj(s, 3)
 
     def gram(t):
+        t = gram_slice(t) if gram_slice is not None else t
+        if tw is not None:
+            t = t * (gram_slice(tw) if gram_slice is not None else tw)
         g = jnp.einsum(gspec, t, t,
                        preferred_element_type=jnp.float32)
         if psum_axis is not None:
             g = jax.lax.psum(g, psum_axis)
         return g
 
-    bd_s = linear_ctx_blockdiag_from_gram(gram(u3), w["wkv3"], scale,
-                                          num_heads)
-    bd_1 = linear_ctx_blockdiag_from_gram(gram(y1), w["wkv1"], scale,
-                                          num_heads)
-    bd_2 = linear_ctx_blockdiag_from_gram(gram(y2), w["wkv2"], scale,
-                                          num_heads)
+    g1 = gram(r1)   # [2C, 2C]; y-block = [:C, :C], u-block = [C:, C:]
+    g2 = gram(r2)
+    g3 = gram(r3)
+    bd_s = linear_ctx_blockdiag_from_gram(g3[:, dim:, dim:], w["wkv3"],
+                                          scale, num_heads)
+    bd_1 = linear_ctx_blockdiag_from_gram(g1[:, :dim, :dim], w["wkv1"],
+                                          scale, num_heads)
+    bd_2 = linear_ctx_blockdiag_from_gram(g2[:, :dim, :dim], w["wkv2"],
+                                          scale, num_heads)
 
-    def fold(bd, we_half):
-        return (bd @ we_half.astype(jnp.float32)).astype(dt)
+    z = jnp.zeros_like(bd_s, dtype=dt)
+
+    def fold_top(bd, we_half):
+        # y-half selector: r @ [[M], [0]] == r[..., :C] @ M
+        m = (bd @ we_half.astype(jnp.float32)).astype(dt)
+        return jnp.concatenate([m, z], axis=-2)
+
+    def fold_bot(bd, we_half):
+        # u-half selector: r @ [[0], [M]] == r[..., C:] @ M
+        m = (bd @ we_half.astype(jnp.float32)).astype(dt)
+        return jnp.concatenate([z, m], axis=-2)
 
     def ln(t, i):
         t32 = t.astype(jnp.float32)
@@ -156,11 +182,11 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
         return (nrm * w[f"ln{i}_scale"].astype(jnp.float32)
                 + w[f"ln{i}_bias"].astype(jnp.float32)).astype(dt)
 
-    o1 = (jnp.einsum(aspec, y3, fold(bd_1, w["we1"][:dim]))
-          + jnp.einsum(aspec, u1, fold(bd_s, w["we1"][dim:]))
+    o1 = (jnp.einsum(aspec, r3, fold_top(bd_1, w["we1"][:dim]))
+          + jnp.einsum(aspec, r1, fold_bot(bd_s, w["we1"][dim:]))
           + w["be1"].astype(dt))
-    o2 = (jnp.einsum(aspec, y3, fold(bd_2, w["we2"][:dim]))
-          + jnp.einsum(aspec, u2, fold(bd_s, w["we2"][dim:]))
+    o2 = (jnp.einsum(aspec, r3, fold_top(bd_2, w["we2"][:dim]))
+          + jnp.einsum(aspec, r2, fold_bot(bd_s, w["we2"][dim:]))
           + w["be2"].astype(dt))
     return ln(x1 + o1, 1), ln(x2 + o2, 2)
 
@@ -368,7 +394,7 @@ crosspath_fused.defvjp(_fwd, _bwd)
 
 
 def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int,
-                    token_weight=None):
+                    token_weight=None, gram_slice=None):
     """Dispatcher. DEFAULT IS THE FOLDED XLA PATH — measured on v5e at
     B=2, N=307200 (in-graph scan): folded XLA 2.65 ms/round vs fused
     Pallas 5.0 ms (pass A 3.3 / pass B 3.5 ms across TILE_N 512..4096),
@@ -381,8 +407,8 @@ def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int,
 
     from .attention import _on_tpu
 
-    if (token_weight is None and os.environ.get("SEGMIF_FFM_PALLAS")
-            and _on_tpu()):
+    if (token_weight is None and gram_slice is None
+            and os.environ.get("SEGMIF_FFM_PALLAS") and _on_tpu()):
         if x1.ndim > 3:  # the fused kernel tiles [B, N, C] tokens
             shp = x1.shape
             flat = lambda t: t.reshape(shp[0], -1, t.shape[-1])  # noqa: E731
@@ -390,4 +416,5 @@ def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int,
                                      num_heads)
             return o1.reshape(shp), o2.reshape(shp)
         return crosspath_fused(x1, x2, s, w, scale, num_heads)
-    return crosspath_folded_xla(x1, x2, s, w, scale, num_heads, token_weight)
+    return crosspath_folded_xla(x1, x2, s, w, scale, num_heads, token_weight,
+                                gram_slice=gram_slice)

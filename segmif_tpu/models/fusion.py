@@ -260,7 +260,7 @@ class CrossPath(nn.Module):
     return_context: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, seg, token_weight=None):
+    def __call__(self, x1, x2, seg, token_weight=None, gram_slice=None):
         dim = self.dim
         if self.interaction == "both" and not self.return_context:
             # folded compute path (kernels/pallas_ffm.py): gather the raw
@@ -288,10 +288,10 @@ class CrossPath(nn.Module):
             return crosspath_apply(x1.astype(self.dtype),
                                    x2.astype(self.dtype),
                                    seg.astype(self.dtype), w, scale,
-                                   self.num_heads, token_weight)
-        if token_weight is not None:
+                                   self.num_heads, token_weight, gram_slice)
+        if token_weight is not None or gram_slice is not None:
             raise NotImplementedError(
-                "token_weight requires the folded 'both' path")
+                "token_weight/gram_slice require the folded 'both' path")
         y1, u1 = jnp.split(nn.relu(nn.Dense(dim * 2, kernel_init=_DENSE_INIT,
                                             dtype=self.dtype,
                                             name="channel_proj1")(x1)), 2, -1)
@@ -344,7 +344,7 @@ class FeatureFusionModule(nn.Module):
     return_context: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, seg, token_weight=None):
+    def __call__(self, x1, x2, seg, token_weight=None, gram_slice=None):
         import os
 
         cross = CrossPath(self.dim, self.num_heads, self.interaction,
@@ -362,13 +362,19 @@ class FeatureFusionModule(nn.Module):
         if (self.interaction == "both" and not self.return_context
                 and not os.environ.get("SEGMIF_FFM_TOKENS")):
             tw = token_weight
-            if tw is not None and tw.ndim != x1.ndim - 1:
+            # when a gram_slice is given, it subsumes the weight on the
+            # folded path (the weight stays the token-path fallback below)
+            if gram_slice is not None:
+                tw = None
+            elif tw is not None and tw.ndim != x1.ndim - 1:
                 # flat [1|B, N] weight -> the caller's leading layout, so the
                 # strip-persistent trunk keeps its layout through the FFM
                 tw = tw.reshape((tw.shape[0],) + x1.shape[1:-1])
-            return cross(x1, x2, seg, tw)
+            return cross(x1, x2, seg, tw, gram_slice)
         # modular / context-returning / token-weighted paths flatten to
-        # tokens (their per-head attention modules index [B, N, C])
+        # tokens (their per-head attention modules index [B, N, C]);
+        # gram_slice is layout-bound — callers that use it must also pass
+        # the equivalent token_weight for this fallback
         shp = x1.shape
         b, c = shp[0], shp[-1]
         t1 = x1.reshape(b, -1, c)
@@ -435,25 +441,27 @@ class FusionNetwork(nn.Module):
         trunk = "image"
         if not self.return_attention and _use_phase_trunk(ir.shape[1],
                                                           ir.shape[2]):
-            # 'strips' is the DEFAULT since round 3: with the folded FFM
-            # weight-aware (crosspath_folded_xla token_weight in strip
-            # layout), the trunk keeps the strip layout through the
-            # attention rounds — zero plane<->strip transitions — measured
-            # 139.6 vs 152.5 ms fusion core on v5e (e9; round 2 measured
-            # the opposite only because token_weight then forced the FFM
-            # onto the token-flattening path). moam/soam use phase planes
-            # (their modular attention has no gram weight);
-            # SEGMIF_NO_STRIPS_TRUNK=1 opts back into the phase trunk
-            # (trace-time A/B switch).
-            trunk = ("phase" if (os.environ.get("SEGMIF_NO_STRIPS_TRUNK")
-                                 or self.interaction in ("moam", "soam"))
-                     else "strips")
+            # 'phase' is the default again since the no-half-materialization
+            # FFM fold landed (kernels/pallas_ffm.py): measured on v5e b8
+            # 480x640 (e10), phase 134.1 ms vs the best strips combo
+            # 142.1 ms. The strips trunk briefly won mid-round-3 (139.6 vs
+            # 152.5, e9) because the OLD fold materialized y/u slice halves
+            # whose relayout cost the phase trunk paid in full; with those
+            # gone, strips' halo-row overcompute (proj+FFM run on
+            # rows=strip+2*halo) outweighs the per-DRDB strip
+            # gather/scatter it saves. SEGMIF_STRIPS_TRUNK=1 opts back in
+            # (trace-time A/B switch, parity-tested). moam/soam always use
+            # phase planes (their modular attention has no gram weight).
+            trunk = ("strips" if (os.environ.get("SEGMIF_STRIPS_TRUNK")
+                                  and self.interaction
+                                  not in ("moam", "soam"))
+                     else "phase")
         if trunk != "image":
             from ..kernels.pallas_drdb import (
                 _PHASE_HALO, _phase_strip_for, _phase_strips, merge_strips,
                 owned_token_weight, phase_merge, phase_split,
                 refresh_strip_halos, split_strips, strip_row_mask)
-        tw = mask = None
+        tw = mask = gs = None
         if trunk == "strips":
             b, hh, ww = ir.shape[0], ir.shape[1], ir.shape[2]
             hp, wp = hh // 2, ww // 2
@@ -461,6 +469,15 @@ class FusionNetwork(nn.Module):
             halo = _PHASE_HALO
             n_strips = hp // strip
             rows = strip + 2 * halo
+            # gram over the owned-row window: SEGMIF_STRIPS_GRAM_SLICE=1
+            # (trace-time A/B) makes the folded FFM read a SLICE of the
+            # [B, 4, n, rows, wp, C] view for its gram reductions instead
+            # of multiplying by the 0/1 weight. Measured SLOWER in-context
+            # (e10: 146.5 vs 145.4 ms — XLA materializes the strided row
+            # window, costing more than the weight broadcast it avoids), so
+            # the weight-multiply gram is the default.
+            if os.environ.get("SEGMIF_STRIPS_GRAM_SLICE"):
+                gs = lambda t: t[:, :, :, halo:halo + strip]  # noqa: E731
             tw = owned_token_weight(b, n_strips, strip, halo, wp, jnp.float32)
             mask = strip_row_mask(b, n_strips, strip, halo, hp)
 
@@ -523,7 +540,7 @@ class FusionNetwork(nn.Module):
         if self.interaction != "none":
             x1, x2 = self._interact(img6(x1), img6(x2),
                                     img6(tap_to_trunk(seg_tap1, "seg_proj1")),
-                                    ffm, 1, attn_maps, tw)
+                                    ffm, 1, attn_maps, tw, gs)
             x1, x2 = flat4(x1), flat4(x2)
         if trunk == "strips":
             x1 = refresh_strip_halos(x1, b, strip, halo)
@@ -533,7 +550,7 @@ class FusionNetwork(nn.Module):
         if self.interaction != "none":
             x1, x2 = self._interact(img6(x1), img6(x2),
                                     img6(tap_to_trunk(seg_tap2, "seg_proj2")),
-                                    ffm, 2, attn_maps, tw)
+                                    ffm, 2, attn_maps, tw, gs)
             x1, x2 = flat4(x1), flat4(x2)
 
         y = jnp.concatenate([x1, x2], axis=-1)
@@ -576,7 +593,7 @@ class FusionNetwork(nn.Module):
         return y
 
     def _interact(self, x1, x2, s, ffm, round_idx, attn_maps,
-                  token_weight=None):
+                  token_weight=None, gram_slice=None):
         if self.interaction in ("both", "moam", "soam"):
             import os
 
@@ -586,7 +603,7 @@ class FusionNetwork(nn.Module):
                 x1, x2, s = jax.lax.optimization_barrier((x1, x2, s))
             # weight-shared FFM across both rounds — the reference reuses
             # self.ffm and never calls ffm2 (model_fusion.py:1058,1061)
-            out = ffm(x1, x2, s, token_weight)
+            out = ffm(x1, x2, s, token_weight, gram_slice)
             if os.environ.get("SEGMIF_FFM_BARRIER"):
                 out = jax.lax.optimization_barrier(out)
             if self.return_attention:

@@ -179,7 +179,9 @@ def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
 @pytest.mark.parametrize("flag", ["SEGMIF_FFM_TOKENS",
                                   "SEGMIF_DRDB_PHASE_NOSTRIP",
                                   "SEGMIF_PHASE_SPLIT_RESHAPE",
-                                  "SEGMIF_NO_STRIPS_TRUNK"])
+                                  "SEGMIF_STRIPS_TRUNK",
+                                  "SEGMIF_STRIPS_GRAM_SLICE",
+                                  "SEGMIF_HALOS_CONCAT"])
 def test_layout_ab_flags_match_default(flag, monkeypatch):
     """Every layout A/B env switch (measured slower on v5e and kept only as
     an experiment toggle — OPTIMIZATION.md round-3) is numerically EXACT vs
@@ -195,9 +197,13 @@ def test_layout_ab_flags_match_default(flag, monkeypatch):
     tap2 = jnp.asarray(rng.normal(size=(2, 48, 64, 24)).astype(np.float32))
     m = FusionNetwork(channels=16, num_heads=4)
     params = m.init(KEY, ir, vis, tap1, tap2)
-    # the flags only have consumers on the phase trunk (TPU default);
-    # force it on so the CPU test exercises the real code paths
+    # the flags only have consumers on the phase/strips trunks (TPU
+    # default); force the trunk on so the CPU test exercises the real code
+    # paths. The strips-internal A/B flags additionally need the strips
+    # trunk active in BOTH runs.
     monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
+    if flag in ("SEGMIF_STRIPS_GRAM_SLICE", "SEGMIF_HALOS_CONCAT"):
+        monkeypatch.setenv("SEGMIF_STRIPS_TRUNK", "1")
     monkeypatch.delenv(flag, raising=False)
     ref = m.apply(params, ir, vis, tap1, tap2)
     monkeypatch.setenv(flag, "1")
