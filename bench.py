@@ -112,7 +112,17 @@ def main():
     _enable_compile_cache()
     import jax
 
-    if not _tpu_reachable():
+    from segmif_tpu.utils.platform import honor_platform_env
+
+    # An explicit JAX_PLATFORMS=cpu must win: the axon plugin IGNORES the
+    # env var, so the subprocess probe below would report "tpu" and a CPU
+    # mesh run (e.g. --mesh_model on a forced 8-device host mesh) would
+    # silently land on the one real chip instead.
+    honor_platform_env()
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu" or os.environ.get(
+            "JAX_PLATFORM_NAME", "").lower() == "cpu":
+        pass  # pinned in-process above; skip the TPU probe
+    elif not _tpu_reachable():
         # wedged/absent TPU tunnel: pin CPU BEFORE backend init (a bare
         # import would block forever inside the plugin's init)
         jax.config.update("jax_platforms", "cpu")

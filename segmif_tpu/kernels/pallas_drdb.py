@@ -528,15 +528,16 @@ def _drdb_chain(xs: jnp.ndarray, w: Dict, relu) -> jnp.ndarray:
     y4 = dconv(r4, grp(4))
     r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g] + y2[..., 2 * g:3 * g]
               + y3[..., g:2 * g] + y4 + bs[4])
-    # NOTE: distributing the 1x1 bottleneck over the concat sources (6 small
-    # convs, no [*, rows, wp, 224] buffer) was measured SLOWER on v5e
-    # (+8 ms/DRDB: the K=32 convs each pay the per-conv floor and f32
-    # accumulators add traffic) — the explicit concat stays.
-    feat = jnp.concatenate([xs, r1, r2, r3, r4, r5], -1)
-    y = jax.lax.conv_general_dilated(
-        feat, w["bottleneck"]["kernel"].astype(dt), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return xs + jax.nn.relu(y + w["bottleneck"]["bias"].astype(dt))
+    # The tail (concat -> 1x1 bottleneck -> relu -> residual) dispatches
+    # through pallas_drdb_tail.drdb_tail: the XLA concat form by default
+    # (measured FASTER than the fused Pallas tail, which pays ~16 ms of
+    # producer-layout relayout copies — round-3 addendum 6); the kernel is
+    # opt-in via SEGMIF_PALLAS_TAIL=1. Distributing the bottleneck over
+    # the sources as 6 small XLA convs was also measured slower on v5e
+    # (+8 ms/DRDB: each K=32 conv pays the per-conv floor).
+    from .pallas_drdb_tail import drdb_tail
+
+    return drdb_tail(xs, (r1, r2, r3, r4, r5), w)
 
 
 def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int,

@@ -173,3 +173,50 @@ def test_drdb_apply_valid_rows_traced():
                                                   jnp.int32(50))
     np.testing.assert_allclose(np.asarray(got)[:, 10:50],
                                np.asarray(ref)[:, 10:50], atol=1e-6)
+
+
+def test_tail_kernel_matches_xla_tail(setup):
+    """Fused Pallas DRDB tail (interpret mode) == the concat+1x1+residual
+    expression, forward and gradients (incl. bottleneck weight grads)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from segmif_tpu.kernels import pallas_drdb_tail as pt
+
+    rng = np.random.default_rng(3)
+    _, w = setup
+    s, rows, wp, c, g = 4, 16, 64, 64, 32  # S*R*W = 4096 = one kernel tile
+    xs = jnp.asarray(rng.normal(size=(s, rows, wp, c)).astype(np.float32))
+    rs = tuple(jnp.asarray(
+        np.abs(rng.normal(size=(s, rows, wp, g))).astype(np.float32))
+        for _ in range(5))
+    wb = w["bottleneck"]["kernel"][0, 0]
+    bb = w["bottleneck"]["bias"]
+
+    ref = pt._tail_xla(xs, rs, wb, bb)
+    with pltpu.force_tpu_interpret_mode():
+        out = pt.drdb_tail_pallas(xs, *rs, wb, bb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_k(x, r, kw, kb):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(pt.drdb_tail_pallas(x, *r, kw, kb) ** 2)
+
+    def loss_r(x, r, kw, kb):
+        return jnp.sum(pt._tail_xla(x, r, kw, kb) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 2, 3))(xs, rs, wb, bb)
+    gr = jax.grad(loss_r, argnums=(0, 2, 3))(xs, rs, wb, bb)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_chain_uses_tail_dispatcher_off_tpu(setup):
+    """_drdb_chain's XLA fallback tail (dot_general form) still matches the
+    naive reference chain exactly (the conv->dot rewrite is math-identical)."""
+    x, w = setup
+    ref = pd.drdb_xla(x, w)
+    out = pd.drdb_grouped_xla(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
