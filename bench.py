@@ -102,6 +102,12 @@ def main():
                              "(PARALLELISM.md TP table; CPU mesh ok)")
     parser.add_argument("--serving", action="store_true",
                         help="precompute guide taps outside the loop")
+    parser.add_argument("--train", action="store_true",
+                        help="fusion-phase TRAIN-step throughput (round>=2 "
+                             "semantics: guide taps + fwd/bwd through the "
+                             "fusion net AND the frozen-seg CE, DWA, adamw; "
+                             "remat on). Separate mode — too compile-heavy "
+                             "for the plain-run artifact.")
     parser.add_argument("--iters", type=int, default=16)
     parser.add_argument("--batch", type=int, default=0)
     parser.add_argument("--backbone", default="",
@@ -137,11 +143,55 @@ def main():
     iters = args.iters if on_tpu else 2
 
     backbone = args.backbone or ("mit_b3" if on_tpu else "mit_b0")
-    model = JointPipeline(backbone, num_classes=9, dtype=jnp.bfloat16)
+    model = JointPipeline(backbone, num_classes=9, dtype=jnp.bfloat16,
+                          remat=args.train)
     rng = jax.random.PRNGKey(0)
     ir = jax.random.uniform(rng, (batch, h, w, 1), jnp.float32)
     vis = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
     variables = model.init(rng, ir[:1], vis[:1])
+
+    if args.train:
+        # Fusion-phase training throughput (the reference's train.py hot
+        # loop, round>=2: taps on the guide + fusion fwd/bwd + CE through
+        # the frozen seg net + DWA + adamw), batch sharded over `data` if
+        # --mesh_data. In-graph scan carrying the train state.
+        from segmif_tpu.train.optimizer import adamw_poly
+        from segmif_tpu.train.steps import (FusionTrainState,
+                                            make_fusion_train_step)
+
+        label = jnp.zeros((batch, h, w), jnp.int32)
+        train_batch = {"ir": ir, "vis": vis, "guide": vis, "label": label}
+        seg_vars = {"params": {"seg": variables["params"]["seg"]},
+                    "batch_stats": {"seg": variables.get(
+                        "batch_stats", {}).get("seg", {})}}
+        tx = adamw_poly(1e-4, 0, 20000)
+        state0 = FusionTrainState.create(variables["params"]["fusion"], tx)
+        step = make_fusion_train_step(model, tx, round1=False)
+
+        @jax.jit
+        def train_many(state, seg_vars, batch_):
+            def body(carry, _):
+                st, tot = carry
+                st, metrics = step(st, seg_vars, batch_, jnp.float32(0.2))
+                return (st, tot + metrics["loss"]), ()
+            (st, tot), _ = jax.lax.scan(body, (state, jnp.float32(0)), None,
+                                        length=iters)
+            return tot
+
+        def run():
+            return float(train_many(state0, seg_vars, train_batch))
+
+        extra = ", fusion-phase TRAIN step (fwd+bwd+DWA+adamw, remat)"
+        if not on_tpu:
+            extra += ", OFF-TPU CPU FALLBACK (tiny shapes, not comparable)"
+        run()  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        _emit(h, w, batch, batch * iters / min(times), backbone, extra=extra)
+        return
 
     n_chips = 1
     if args.mesh_model > 1:

@@ -1,0 +1,69 @@
+"""E16 (round 3): in-context A/B of the entry/tail conv restructures —
+SEGMIF_CONV1_PAIRED (one entry conv + one phase split for the pair) and
+SEGMIF_CONV2_SPLIT (conv2 reads the x1/x2 halves; the [B,H,W,128] concat
+never materializes) — on the served-taps fusion core."""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import _cache
+
+_cache.enable()
+
+from segmif_tpu.models.network import JointPipeline  # noqa: E402
+
+
+def timed_scan(fn, args, iters=8, reps=3):
+    @jax.jit
+    def many(*args):
+        def body(carry, _):
+            out = fn(args[0] + carry, *args[1:])
+            s = jnp.mean(out.astype(jnp.float32)) * 1e-7
+            return carry + s.astype(carry.dtype), ()
+        carry, _ = lax.scan(body, jnp.float32(0), None, length=iters)
+        return carry
+    float(many(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(many(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters * 1000
+
+
+def main():
+    b, h, w = 8, 480, 640
+    model = JointPipeline("mit_b3", num_classes=9, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    ir = jax.random.uniform(rng, (b, h, w, 1), jnp.float32)
+    vis = jax.random.uniform(rng, (b, h, w, 3), jnp.float32)
+    variables = model.init(rng, ir[:1], vis[:1])
+    taps = jax.jit(lambda v: model.apply(
+        v, vis, method=JointPipeline.guide_taps_raw))(variables)
+
+    def core(ir_, vis_, t1, t2):
+        fr, fy = model.apply(variables, ir_, vis_, taps=(t1, t2),
+                             method=JointPipeline.fuse)
+        return fr + fy.mean()
+
+    combos = [
+        ("default", ()),
+        ("conv1 paired", ("SEGMIF_CONV1_PAIRED",)),
+        ("conv2 split", ("SEGMIF_CONV2_SPLIT",)),
+        ("both", ("SEGMIF_CONV1_PAIRED", "SEGMIF_CONV2_SPLIT")),
+    ]
+    for label, envs in combos:
+        for e in envs:
+            os.environ[e] = "1"
+        t = timed_scan(core, (ir, vis) + tuple(taps))
+        for e in envs:
+            del os.environ[e]
+        print(f"fusion core, {label:14s}: {t:7.1f} ms "
+              f"({b / t * 1000:5.1f} pairs/s core)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

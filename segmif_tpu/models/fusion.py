@@ -70,11 +70,14 @@ def _use_phase_trunk(h: int, w: int) -> bool:
 
 def _use_strips() -> bool:
     """Gate for the tail strip-conv path: TPU only (the fast small-plane
-    regime is a TPU conv-lowering property), opt-out via env."""
+    regime is a TPU conv-lowering property), opt-out via SEGMIF_NO_STRIPS,
+    opt-in off-TPU via SEGMIF_FORCE_STRIPS (CPU parity tests)."""
     import os
 
     if os.environ.get("SEGMIF_NO_STRIPS"):
         return False
+    if os.environ.get("SEGMIF_FORCE_STRIPS"):
+        return True
     from ..kernels.attention import _on_tpu
 
     return _on_tpu()
@@ -504,12 +507,32 @@ class FusionNetwork(nn.Module):
         # stride-2 convs was measured SLOWER on v5e than conv + split (XLA
         # fuses the phase transpose into the conv's output write): 4.6 vs
         # 2.8 ms standalone — keep the straightforward form.
-        x1 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
-                     dtype=self.dtype, name="conv1_ir")(ir[..., 0:1])
-        x1 = to_trunk(_prelu(x1, alpha))
-        x2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=_CONV_INIT,
-                     dtype=self.dtype, name="conv1_vis")(vis_y[..., 0:1])
-        x2 = to_trunk(_prelu(x2, alpha))
+        k_ir, b_ir = _ConvWeights(1, ch, 3, name="conv1_ir")()
+        k_vis, b_vis = _ConvWeights(1, ch, 3, name="conv1_vis")()
+
+        def conv3x3(t, k, b):
+            return jax.lax.conv_general_dilated(
+                t.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + b.astype(self.dtype)
+
+        if os.environ.get("SEGMIF_CONV1_PAIRED") and trunk != "image":
+            # ONE entry conv + ONE phase split on the channel-paired pair
+            # instead of two of each (identical math: block-diagonal kernel
+            # over the 2 input channels; prelu commutes with the concat).
+            # Trace-time A/B switch (flipping after jit has no effect).
+            kp = jnp.zeros((3, 3, 2, 2 * ch), self.dtype)
+            kp = kp.at[:, :, 0, :ch].set(k_ir[:, :, 0].astype(self.dtype))
+            kp = kp.at[:, :, 1, ch:].set(k_vis[:, :, 0].astype(self.dtype))
+            bp = jnp.concatenate([b_ir, b_vis]).astype(self.dtype)
+            pair = jnp.concatenate([ir[..., 0:1], vis_y[..., 0:1]], -1)
+            x12 = to_trunk(_prelu(conv3x3(pair, kp, bp), alpha))
+            x1, x2 = x12[..., :ch], x12[..., ch:]
+        else:
+            x1 = to_trunk(_prelu(conv3x3(ir[..., 0:1], k_ir, b_ir), alpha))
+            x2 = to_trunk(_prelu(conv3x3(vis_y[..., 0:1], k_vis, b_vis),
+                                 alpha))
         x1 = drdb_cls(ch, dtype=self.dtype, name="drdb1")(x1, trunk, mask)
         x2 = drdb_cls(ch, dtype=self.dtype, name="drdb2")(x2, trunk, mask)
 
@@ -553,39 +576,55 @@ class FusionNetwork(nn.Module):
                                     ffm, 2, attn_maps, tw, gs)
             x1, x2 = flat4(x1), flat4(x2)
 
-        y = jnp.concatenate([x1, x2], axis=-1)
-        if trunk == "strips":
-            y = merge_strips(y, b, strip, halo)
-        elif trunk == "phase":
-            y = phase_merge(y)
-        conv2 = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
-                        kernel_init=_CONV_INIT, dtype=self.dtype,
-                        name="conv2")
+        k2, b2 = _ConvWeights(2 * ch, ch, 3, name="conv2")()
         conv21 = nn.Conv(ch // 2, (3, 3), padding=[(1, 1), (1, 1)],
                          kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="conv21")
         conv22 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
                          kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="conv22")
-        strip = None
+        split2 = (os.environ.get("SEGMIF_CONV2_SPLIT")
+                  and trunk == "phase" and _use_strips())
+        if not split2:
+            y = jnp.concatenate([x1, x2], axis=-1)
+            if trunk == "strips":
+                y = merge_strips(y, b, strip, halo)
+            elif trunk == "phase":
+                y = phase_merge(y)
+        tail_strip = None
         if _use_strips():
             from ..kernels.strips import pick_strip
 
-            strip = pick_strip(y.shape[1], y.shape[2], halo=3)
-        if strip is not None:
+            hh, ww = ir.shape[1], ir.shape[2]
+            tail_strip = pick_strip(hh, ww, halo=3)
+        if split2 and tail_strip is None:
+            split2 = False
+            y = phase_merge(jnp.concatenate([x1, x2], axis=-1))
+        if tail_strip is not None:
             # fast small-plane conv regime via H halo strips; re-zero rows
             # outside the true image after each prelu so the next conv sees
             # the reference's zero padding at the image border
             from ..kernels.strips import from_strips, to_strips
 
-            b = y.shape[0]
-            ys, m = to_strips(y, strip, halo=3)
-            ys = _prelu(conv2(ys), alpha) * m
+            if split2:
+                # conv2 over concat == conv(x1-half) + conv(x2-half): the
+                # [B,H,W,128] concat buffer (2.3 ms at 480x640 b8, e12
+                # profile) never materializes. Trace-time A/B switch.
+                bsz = x1.shape[0]
+                y1s, m = to_strips(phase_merge(x1), tail_strip, halo=3)
+                y2s, _ = to_strips(phase_merge(x2), tail_strip, halo=3)
+                ys = (conv3x3(y1s, k2[:, :, :ch], b2)
+                      + conv3x3(y2s, k2[:, :, ch:], jnp.zeros_like(b2)))
+                ys = _prelu(ys, alpha) * m
+            else:
+                bsz = y.shape[0]
+                ys, m = to_strips(y, tail_strip, halo=3)
+                ys = _prelu(conv3x3(ys, k2, b2), alpha) * m
             ys = _prelu(conv21(ys), alpha) * m
             ys = _prelu(conv22(ys), alpha)
-            y = from_strips(ys, b, strip, halo=3)
+            y = from_strips(ys, bsz, tail_strip, halo=3)
         else:
-            y = _prelu(conv2(y), alpha)
+            y = _prelu(conv3x3(y, k2, b2), alpha)
             y = _prelu(conv21(y), alpha)
             y = _prelu(conv22(y), alpha)
         if self.return_attention:

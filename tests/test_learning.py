@@ -39,10 +39,16 @@ def _overfit_cfg(ckpt_dir) -> TrainConfig:
         compute_dtype="float32",
         data=DataConfig(num_classes=9, crop_size=64,
                         rescale_range=(1.0, 1.0)),
-        fusion=FusionPhaseConfig(iters_round1=200, iters_later=60,
+        # lr/iters picked from the measured convergence sweep
+        # (experiments/e15_overfit_lr.py, v5e): the round-1 loss plateaus
+        # ~0.6-0.9 at the 4e-4/200-iter config (only ~2.5x down from the
+        # iter-10/20 head ~2.3) but reaches ~0.18-0.24 by iter 300-400 at
+        # 1e-3 — past the 5x bar with ~2x margin. Overfit-test setting;
+        # the trainer default matches the reference (1e-4 / round).
+        fusion=FusionPhaseConfig(iters_round1=400, iters_later=60,
                                  batch_size=4, crop_size=64,
                                  checkpoint_every=10_000,
-                                 learning_rate=4e-4,
+                                 learning_rate=1e-3,
                                  dwa_warmup_steps=5),
         seg=SegPhaseConfig(iters=200, batch_size=4, eval_every=200),
         mesh_data=1,

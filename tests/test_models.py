@@ -181,7 +181,9 @@ def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
                                   "SEGMIF_PHASE_SPLIT_RESHAPE",
                                   "SEGMIF_STRIPS_TRUNK",
                                   "SEGMIF_STRIPS_GRAM_SLICE",
-                                  "SEGMIF_HALOS_CONCAT"])
+                                  "SEGMIF_HALOS_CONCAT",
+                                  "SEGMIF_CONV1_PAIRED",
+                                  "SEGMIF_CONV2_SPLIT"])
 def test_layout_ab_flags_match_default(flag, monkeypatch):
     """Every layout A/B env switch (measured slower on v5e and kept only as
     an experiment toggle — OPTIMIZATION.md round-3) is numerically EXACT vs
@@ -204,6 +206,12 @@ def test_layout_ab_flags_match_default(flag, monkeypatch):
     monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
     if flag in ("SEGMIF_STRIPS_GRAM_SLICE", "SEGMIF_HALOS_CONCAT"):
         monkeypatch.setenv("SEGMIF_STRIPS_TRUNK", "1")
+    if flag == "SEGMIF_CONV2_SPLIT":
+        # the split consumer also needs the strip-conv tail active
+        # (SEGMIF_PALLAS_TAIL is covered by its dedicated interpret-mode
+        # test in test_drdb_kernel.py — this test's shapes don't divide
+        # the kernel's tile, so the dispatcher would silently fall back)
+        monkeypatch.setenv("SEGMIF_FORCE_STRIPS", "1")
     monkeypatch.delenv(flag, raising=False)
     ref = m.apply(params, ir, vis, tap1, tap2)
     monkeypatch.setenv(flag, "1")
