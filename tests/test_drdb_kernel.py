@@ -210,13 +210,3 @@ def test_tail_kernel_matches_xla_tail(setup):
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
-
-
-def test_chain_uses_tail_dispatcher_off_tpu(setup):
-    """_drdb_chain's XLA fallback tail (dot_general form) still matches the
-    naive reference chain exactly (the conv->dot rewrite is math-identical)."""
-    x, w = setup
-    ref = pd.drdb_xla(x, w)
-    out = pd.drdb_grouped_xla(x, w)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
