@@ -22,7 +22,15 @@ import jax.numpy as jnp
 
 def pick_strip(h: int, w: int, halo: int, max_plane: int = 19500):
     """Largest divisor of `h` whose halo-extended plane fits the fast
-    regime; None if none does (caller falls back to the untiled path)."""
+    regime; None if none does (caller falls back to the untiled path).
+    SEGMIF_TAIL_MAX_PLANE overrides max_plane (trace-time A/B knob:
+    flipping it after jit has no effect — at 480x640/halo 3 the default
+    gives strip 24, i.e. 25% halo-row overcompute on the tail convs)."""
+    import os
+
+    env = os.environ.get("SEGMIF_TAIL_MAX_PLANE")
+    if env:
+        max_plane = int(env)
     best = None
     for s in range(8, h + 1):
         if h % s == 0 and (s + 2 * halo) * w <= max_plane:
