@@ -20,12 +20,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def pick_strip(h: int, w: int, halo: int, max_plane: int = 19500):
+def pick_strip(h: int, w: int, halo: int, max_plane: int = 42000):
     """Largest divisor of `h` whose halo-extended plane fits the fast
     regime; None if none does (caller falls back to the untiled path).
-    SEGMIF_TAIL_MAX_PLANE overrides max_plane (trace-time A/B knob:
-    flipping it after jit has no effect — at 480x640/halo 3 the default
-    gives strip 24, i.e. 25% halo-row overcompute on the tail convs)."""
+    max_plane default from the round-3 e18 in-context sweep of the fusion
+    TAIL convs at 480x640 (strip 48): 132.7 ms core vs 134.6 at the old
+    19500 cap (strip 24, 25% halo-row overcompute) vs 139.3 at 86000
+    (strip 120, out of the fast conv regime). SEGMIF_TAIL_MAX_PLANE
+    overrides it (trace-time A/B knob: flipping after jit has no
+    effect)."""
     import os
 
     env = os.environ.get("SEGMIF_TAIL_MAX_PLANE")
