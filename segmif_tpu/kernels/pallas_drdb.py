@@ -589,12 +589,15 @@ def _phase_strip_for(hp: int, wp: int) -> int | None:
     """Pick an H-strip size for the phase formulation: measured v5e fast
     regime needs (strip + 2*halo) * wp <= ~20k px/plane; strip must divide
     the phase height. Prefers the largest qualifying divisor (fewer strips =
-    less halo waste)."""
+    less halo waste). Cap re-validated in-context round-3 (e19 sweep at
+    480x640: strip 60 fastest; 48 and 80 both lose). SEGMIF_PHASE_MAX_PLANE
+    overrides the cap (trace-time A/B knob)."""
+    cap = int(os.environ.get("SEGMIF_PHASE_MAX_PLANE", "22400"))
     best = None
     for s in range(16, hp + 1):
         if hp % s:
             continue
-        if (s + 2 * _PHASE_HALO) * wp <= 22400:
+        if (s + 2 * _PHASE_HALO) * wp <= cap:
             best = s
     return best
 
