@@ -140,12 +140,35 @@ def token_gram(t: jnp.ndarray) -> jnp.ndarray:
 
 def sr_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                  scale: float) -> jnp.ndarray:
-    """Dispatching sr-attention. See module docstring."""
-    if _on_tpu():
-        from .pallas_attention import sr_attention_pallas, supports
-        if supports(q.shape, k.shape):
-            return sr_attention_pallas(q, k, v, scale)
-    return sr_attention_xla(q, k, v, scale)
+    """Dispatching sr-attention. See module docstring.
+
+    The TPU/other split is staged with `lax.platform_dependent`, NOT a
+    Python conditional on the current backend: a multi-platform serving
+    export (cli/export --platforms tpu,cpu) lowers the SAME trace for
+    every platform, and a trace-time `_on_tpu()` pick would bake the
+    Pallas kernel into the CPU lowering (measured failure: "Only
+    interpret mode is supported on CPU backend"). platform_dependent
+    keeps per-platform branches; under a normal single-platform jit the
+    branch is resolved at lowering with zero runtime cost.
+    SEGMIF_DISABLE_PALLAS still forces the XLA path outright."""
+    import os
+
+    if os.environ.get("SEGMIF_DISABLE_PALLAS"):
+        return sr_attention_xla(q, k, v, scale)
+    from .pallas_attention import supports
+
+    if not supports(q.shape, k.shape):
+        return sr_attention_xla(q, k, v, scale)
+
+    def tpu_path(q, k, v):
+        from .pallas_attention import sr_attention_pallas
+
+        return sr_attention_pallas(q, k, v, scale)
+
+    return jax.lax.platform_dependent(
+        q, k, v,
+        tpu=tpu_path,
+        default=lambda q, k, v: sr_attention_xla(q, k, v, scale))
 
 
 def linear_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

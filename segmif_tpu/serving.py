@@ -23,6 +23,7 @@ height, width) at export time, which is exactly what XLA:TPU wants.
 """
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
@@ -95,9 +96,29 @@ def export_serving_artifact(model, variables, batch: int, height: int,
                             with_seg=with_seg, vis_channel=vis_channel)
     ir_spec = jax.ShapeDtypeStruct((batch, height, width, 1), jnp.float32)
     vis_spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
-    exported = jax_export.export(
-        serve, platforms=list(platforms) if platforms else None)(
-            ir_spec, vis_spec)
+    # The Pallas sr-attention kernel only lowers for TPU. Its dispatch is
+    # staged with lax.platform_dependent, but jax.export lowers EVERY
+    # branch for EVERY requested platform (measured: a tpu,cpu export
+    # raises "Only interpret mode is supported on CPU backend" from the
+    # kernel's CPU lowering rule), so any artifact that must run off-TPU
+    # is traced with the XLA attention path instead — portability over
+    # the kernel (a tpu-only artifact keeps it).
+    disable_pallas = platforms is not None and set(platforms) != {"tpu"}
+    env_ctx = {}
+    if disable_pallas:
+        env_ctx["SEGMIF_DISABLE_PALLAS"] = os.environ.get(
+            "SEGMIF_DISABLE_PALLAS")
+        os.environ["SEGMIF_DISABLE_PALLAS"] = "1"
+    try:
+        exported = jax_export.export(
+            serve, platforms=list(platforms) if platforms else None)(
+                ir_spec, vis_spec)
+    finally:
+        for k, old in env_ctx.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
     return exported.serialize()
 
 

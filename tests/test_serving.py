@@ -94,3 +94,35 @@ def test_export_cli(tmp_path):
     vis = jnp.zeros((1, 32, 32, 3), jnp.float32)
     fused_rgb, pred = fn(ir, vis)
     assert fused_rgb.shape == (1, 32, 32, 3)
+
+
+def test_multiplatform_export_with_pallas_capable_shapes(tmp_path):
+    """Regression: a tpu+cpu export must not bake the Pallas sr-attention
+    kernel into the CPU lowering ("Only interpret mode is supported on CPU
+    backend"). The serving exporter traces multi-platform artifacts with
+    the XLA attention path (serving.py::export_serving_artifact); the
+    shapes here are inside the kernel's supports() regime so the bug path
+    is actually exercised."""
+    import jax.numpy as jnp
+
+    from segmif_tpu.kernels.pallas_attention import supports
+    from segmif_tpu.models.network import JointPipeline
+    from segmif_tpu.serving import (export_serving_artifact,
+                                    load_serving_artifact,
+                                    save_serving_artifact)
+
+    b, h, w = 1, 64, 64
+    # stage-1 tokens at h/4: [1, 256, 1, 32] q vs reduced kv -> in-regime
+    assert supports((b, (h // 4) * (w // 4), 1, 32), (b, 4, 1, 32))
+    model = JointPipeline("mit_b0", num_classes=9, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    ir = jnp.zeros((1, h, w, 1), jnp.float32)
+    vis = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(rng, ir, vis)
+    data = export_serving_artifact(model, variables, b, h, w,
+                                   platforms=("tpu", "cpu"))
+    p = tmp_path / "art.stablehlo"
+    save_serving_artifact(p, data)
+    fn = load_serving_artifact(p)
+    fused_rgb, pred = fn(ir, vis)
+    assert fused_rgb.shape == (1, h, w, 3) and pred.shape == (1, h, w)
