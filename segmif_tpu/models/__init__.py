@@ -1,5 +1,6 @@
 from .fusion import (
     DRDB,
+    AttentionModule,
     CrossPath,
     FeatureFusionModule,
     FusionNetwork,
@@ -10,7 +11,7 @@ from .network import JointPipeline, SegmentationNetwork, SegModel
 from .segformer_head import SegFormerHead
 
 __all__ = [
-    "DRDB", "CrossPath", "FeatureFusionModule", "FusionNetwork",
+    "DRDB", "AttentionModule", "CrossPath", "FeatureFusionModule", "FusionNetwork",
     "SimpleFusionNetwork", "MIT_VARIANTS", "MiTConfig", "MixVisionTransformer",
     "fusion_taps", "JointPipeline", "SegmentationNetwork", "SegModel",
     "SegFormerHead",

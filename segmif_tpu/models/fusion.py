@@ -391,6 +391,25 @@ class FeatureFusionModule(nn.Module):
         return t1, t2
 
 
+class AttentionModule(nn.Module):
+    """Sigmoid-gated conv attention (model_fusion.py:759-771): conv3x3 ->
+    ReLU -> conv3x3 -> sigmoid(y) * y (the gate multiplies the CONV OUTPUT,
+    not the input — the reference's `out * x1` where x1 is post-conv)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_CONV_INIT, dtype=self.dtype,
+                    name="conv_a")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_CONV_INIT, dtype=self.dtype,
+                    name="conv_b")(y)
+        return jax.nn.sigmoid(y) * y
+
+
 class FusionNetwork(nn.Module):
     """The deployed fusion net (`Fusion_Network3_ac`, model_fusion.py:1026-1067).
 
@@ -403,12 +422,19 @@ class FusionNetwork(nn.Module):
     layout; same checkpoint weights). Returns fused Y [B, H, W, 1].
 
     interaction: 'both' | 'moam' | 'soam' (FFM variants), 'concat'
-    (Fusion_Network3_Con), 'add' (Fusion_Network3_Add), 'none'
-    (Fusion_Network_rmseg — seg taps ignored).
+    (Fusion_Network3_Con), 'add' (Fusion_Network3_Add), 'average'
+    (Fusion_Network3_Average: 8 sigmoid-gated AttentionModules att1..att8,
+    model_fusion.py:772-819), 'none' (Fusion_Network_rmseg — seg taps
+    ignored).
+
+    tail: 'deep' = the deployed _ac tail conv2->conv21(ch/2)->conv22(1);
+    'short' = the 32-ch ablation variants' tail conv2->conv21(1)
+    (_S/_M/_Con/_Add/_Average end at conv21, model_fusion.py:810-818).
     """
     channels: int = 64
     num_heads: int = 8
     interaction: str = "both"
+    tail: str = "deep"
     dtype: jnp.dtype = jnp.float32
     return_attention: bool = False  # Fusion_Network3_obtainattention parity
     remat: bool = False  # rematerialize DRDBs + FFM rounds under grad
@@ -442,8 +468,10 @@ class FusionNetwork(nn.Module):
         import os
 
         trunk = "image"
-        if not self.return_attention and _use_phase_trunk(ir.shape[1],
-                                                          ir.shape[2]):
+        # 'average' stays in image space: its 3x3 AttentionModule convs are
+        # layout-sensitive (a phase plane is a 2x-subsampled image)
+        if (not self.return_attention and self.interaction != "average"
+                and _use_phase_trunk(ir.shape[1], ir.shape[2])):
             # 'phase' is the default again since the no-half-materialization
             # FFM fold landed (kernels/pallas_ffm.py): measured on v5e b8
             # 480x640 (e10), phase 134.1 ms vs the best strips combo
@@ -577,12 +605,14 @@ class FusionNetwork(nn.Module):
             x1, x2 = flat4(x1), flat4(x2)
 
         k2, b2 = _ConvWeights(2 * ch, ch, 3, name="conv2")()
-        conv21 = nn.Conv(ch // 2, (3, 3), padding=[(1, 1), (1, 1)],
+        short_tail = self.tail == "short"
+        conv21 = nn.Conv(1 if short_tail else ch // 2, (3, 3),
+                         padding=[(1, 1), (1, 1)],
                          kernel_init=_CONV_INIT, dtype=self.dtype,
                          name="conv21")
-        conv22 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                         kernel_init=_CONV_INIT, dtype=self.dtype,
-                         name="conv22")
+        conv22 = None if short_tail else nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=_CONV_INIT, dtype=self.dtype, name="conv22")
         split2 = (os.environ.get("SEGMIF_CONV2_SPLIT")
                   and trunk == "phase" and _use_strips())
         if not split2:
@@ -620,13 +650,17 @@ class FusionNetwork(nn.Module):
                 bsz = y.shape[0]
                 ys, m = to_strips(y, tail_strip, halo=3)
                 ys = _prelu(conv3x3(ys, k2, b2), alpha) * m
-            ys = _prelu(conv21(ys), alpha) * m
-            ys = _prelu(conv22(ys), alpha)
+            if conv22 is None:
+                ys = _prelu(conv21(ys), alpha)
+            else:
+                ys = _prelu(conv21(ys), alpha) * m
+                ys = _prelu(conv22(ys), alpha)
             y = from_strips(ys, bsz, tail_strip, halo=3)
         else:
             y = _prelu(conv3x3(y, k2, b2), alpha)
             y = _prelu(conv21(y), alpha)
-            y = _prelu(conv22(y), alpha)
+            if conv22 is not None:
+                y = _prelu(conv22(y), alpha)
         if self.return_attention:
             return y, attn_maps
         return y
@@ -661,6 +695,18 @@ class FusionNetwork(nn.Module):
             return f1.reshape(shp), f2.reshape(shp)
         if self.interaction == "add":
             return x1 + s, x2 + s
+        if self.interaction == "average":
+            # Fusion_Network3_Average wiring (model_fusion.py:800-808):
+            # round 1 uses att1..att4 on (x1, seg, x2, seg), round 2 uses
+            # att5..att8 on the same pattern with the second seg tap
+            base = (round_idx - 1) * 4 + 1
+
+            def att(i, t):
+                return AttentionModule(self.channels, self.dtype,
+                                       name=f"att{i}")(t)
+
+            return att(base, x1) + att(base + 1, s), \
+                att(base + 2, x2) + att(base + 3, s)
         raise ValueError(f"unknown interaction {self.interaction!r}")
 
 

@@ -227,6 +227,14 @@ def load_torch_fusion_network(path: str | Path):
             val = _conv(w) if kind == "weight" else w
             _set(params, [name, "kernel" if kind == "weight" else "bias"], val)
             continue
+        m = re.match(r"att(\d)\.conv\.([02])\.(weight|bias)", key)
+        if m:  # Fusion_Network3_Average AttentionModules (:759-771)
+            i, layer, kind = m.groups()
+            sub = "conv_a" if layer == "0" else "conv_b"
+            val = _conv(w) if kind == "weight" else w
+            _set(params, [f"att{i}", sub,
+                          "kernel" if kind == "weight" else "bias"], val)
+            continue
         m = re.match(r"ffm\.cross\.(.+)", key)
         if m:
             rest = m.group(1)

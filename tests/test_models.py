@@ -75,7 +75,7 @@ def test_drdb_residual_shape():
 
 
 @pytest.mark.parametrize("interaction", ["both", "moam", "soam", "concat",
-                                         "add", "none"])
+                                         "add", "average", "none"])
 def test_fusion_network_variants(interaction):
     m = FusionNetwork(channels=16, num_heads=4, interaction=interaction)
     ir = jnp.ones((1, 16, 16, 1)) * 0.5

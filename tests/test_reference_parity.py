@@ -71,6 +71,31 @@ def test_fusion_network_vs_reference(refcore, tmp_path, h, w):
     np.testing.assert_allclose(np.asarray(got), expect, atol=3e-5)
 
 
+def test_fusion_network_average_vs_reference(refcore, tmp_path):
+    """Fusion_Network3_Average (model_fusion.py:772-819): the sigmoid-gated
+    AttentionModule ablation variant — 32-ch trunk, att1..att8 around the
+    DRDBs, short tail (conv2 -> conv21)."""
+    _, mf, _ = refcore
+    ref = mf.Fusion_Network3_Average().eval()
+    path = _save(tmp_path, ref, "fusion_avg.pth")
+
+    rng = np.random.default_rng(4)
+    h, w = 32, 48
+    ir = rng.uniform(0, 1, (2, h, w, 1)).astype(np.float32)
+    vis = rng.uniform(0, 1, (2, h, w, 1)).astype(np.float32)
+    tap1 = rng.normal(0, 1, (2, h, w, 64)).astype(np.float32)
+    tap2 = rng.normal(0, 1, (2, h, w, 128)).astype(np.float32)
+
+    with torch.no_grad():
+        expect = _nhwc(ref(_nchw(ir), _nchw(vis), _nchw(tap1), _nchw(tap2)))
+
+    params = load_torch_fusion_network(path)
+    model = FusionNetwork(channels=32, interaction="average", tail="short")
+    got = model.apply({"params": params}, jnp.asarray(ir), jnp.asarray(vis),
+                      jnp.asarray(tap1), jnp.asarray(tap2))
+    np.testing.assert_allclose(np.asarray(got), expect, atol=3e-5)
+
+
 @pytest.mark.parametrize("h,w", [(64, 64), (32, 64)])
 def test_seg_network_vs_reference(refcore, tmp_path, h, w):
     """Full Network3 forward (x255 + ImageNet normalize + WeTr) vs
