@@ -16,8 +16,8 @@ Verdict: the fold itself is the win; sliced-gram and concat-halos are
 anti-optimizations (hlo_stats self-times of the ops they remove did not
 translate 1:1 — the DUS pair and the weight broadcast were fused into
 consumers). Defaults after this experiment: PHASE trunk, tw gram,
-DUS halos; opt-ins SEGMIF_STRIPS_TRUNK / SEGMIF_STRIPS_GRAM_SLICE /
-SEGMIF_HALOS_CONCAT (all parity-tested in tests/test_models.py).
+DUS halos; opt-ins SEGMIF_AB=strips_trunk / strips_gram_slice /
+halos_concat (all parity-tested in tests/test_models.py).
 """
 import os
 import time
@@ -51,8 +51,7 @@ def timed_scan(fn, args, iters=8, reps=3):
     return min(ts) / iters * 1000
 
 
-FLAGS = ("SEGMIF_STRIPS_TRUNK", "SEGMIF_STRIPS_GRAM_SLICE",
-         "SEGMIF_HALOS_CONCAT")
+FLAGS = ("SEGMIF_AB",)
 
 
 def main():
@@ -73,14 +72,13 @@ def main():
     combos = [
         ("phase trunk, new fold (DEFAULT)", {}),
         ("strips: tw gram + DUS halos",
-         {"SEGMIF_STRIPS_TRUNK": "1"}),
+         {"SEGMIF_AB": "strips_trunk"}),
         ("strips: sliced gram + DUS halos",
-         {"SEGMIF_STRIPS_TRUNK": "1", "SEGMIF_STRIPS_GRAM_SLICE": "1"}),
+         {"SEGMIF_AB": "strips_trunk,strips_gram_slice"}),
         ("strips: tw gram + concat halos",
-         {"SEGMIF_STRIPS_TRUNK": "1", "SEGMIF_HALOS_CONCAT": "1"}),
+         {"SEGMIF_AB": "strips_trunk,halos_concat"}),
         ("strips: sliced gram + concat halos",
-         {"SEGMIF_STRIPS_TRUNK": "1", "SEGMIF_STRIPS_GRAM_SLICE": "1",
-          "SEGMIF_HALOS_CONCAT": "1"}),
+         {"SEGMIF_AB": "strips_trunk,strips_gram_slice,halos_concat"}),
     ]
     for name, env in combos:
         for f in FLAGS:

@@ -49,13 +49,12 @@ def main():
                              method=JointPipeline.fuse)
         return fr + fy.mean()
 
-    for label, env in (("PALLAS tail (new default)", None),
-                       ("XLA concat tail", "SEGMIF_NO_PALLAS_TAIL")):
-        if env:
-            os.environ[env] = "1"
+    for label, tok in (("XLA concat tail (default)", None),
+                       ("PALLAS fused tail", "pallas_tail")):
+        if tok:
+            os.environ["SEGMIF_AB"] = tok
         t = timed_scan(core, (ir, vis) + tuple(taps))
-        if env:
-            del os.environ[env]
+        os.environ.pop("SEGMIF_AB", None)
         print(f"fusion core, {label:26s}: {t:7.1f} ms "
               f"({b / t * 1000:5.1f} pairs/s core)", flush=True)
 

@@ -1,6 +1,6 @@
 """E16 (round 3): in-context A/B of the entry/tail conv restructures —
-SEGMIF_CONV1_PAIRED (one entry conv + one phase split for the pair) and
-SEGMIF_CONV2_SPLIT (conv2 reads the x1/x2 halves; the [B,H,W,128] concat
+SEGMIF_AB=conv1_paired (one entry conv + one phase split for the pair) and
+SEGMIF_AB=conv2_split (conv2 reads the x1/x2 halves; the [B,H,W,128] concat
 never materializes) — on the served-taps fusion core."""
 import os
 import time
@@ -50,17 +50,16 @@ def main():
         return fr + fy.mean()
 
     combos = [
-        ("default", ()),
-        ("conv1 paired", ("SEGMIF_CONV1_PAIRED",)),
-        ("conv2 split", ("SEGMIF_CONV2_SPLIT",)),
-        ("both", ("SEGMIF_CONV1_PAIRED", "SEGMIF_CONV2_SPLIT")),
+        ("default", ""),
+        ("conv1 paired", "conv1_paired"),
+        ("conv2 split", "conv2_split"),
+        ("both", "conv1_paired,conv2_split"),
     ]
-    for label, envs in combos:
-        for e in envs:
-            os.environ[e] = "1"
+    for label, tokens in combos:
+        if tokens:
+            os.environ["SEGMIF_AB"] = tokens
         t = timed_scan(core, (ir, vis) + tuple(taps))
-        for e in envs:
-            del os.environ[e]
+        os.environ.pop("SEGMIF_AB", None)
         print(f"fusion core, {label:14s}: {t:7.1f} ms "
               f"({b / t * 1000:5.1f} pairs/s core)", flush=True)
 

@@ -1,7 +1,7 @@
 """E18 (round 3): fusion-tail strip-size sweep. pick_strip's 19500-px
 fast-regime cap (tuned round-1 on the 64-ch DRDB dil-1 convs) gives the
 128/64/32-ch TAIL convs strip 24 at 480x640 — 25% halo-row overcompute.
-Sweep SEGMIF_TAIL_MAX_PLANE on the served-taps fusion core."""
+Sweep SEGMIF_AB=tail_max_plane on the served-taps fusion core."""
 import os
 import time
 
@@ -59,12 +59,12 @@ def main():
             os.environ["SEGMIF_NO_STRIPS"] = "1"
             strip = None
         elif env:
-            os.environ["SEGMIF_TAIL_MAX_PLANE"] = env
+            os.environ["SEGMIF_AB"] = "tail_max_plane=" + env
             strip = pick_strip(h, w, 3)
         else:
             strip = pick_strip(h, w, 3)
         t = timed_scan(core, (ir, vis) + tuple(taps))
-        os.environ.pop("SEGMIF_TAIL_MAX_PLANE", None)
+        os.environ.pop("SEGMIF_AB", None)
         os.environ.pop("SEGMIF_NO_STRIPS", None)
         print(f"fusion core, tail max_plane {label:16s} (strip {strip}): "
               f"{t:7.1f} ms ({b / t * 1000:5.1f} pairs/s core)", flush=True)

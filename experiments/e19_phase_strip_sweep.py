@@ -1,6 +1,6 @@
 """E19 (round 3): DRDB phase-strip cap sweep (the 22400-px fast-regime cap,
 tuned round-1) — same question e18 answered for the tail convs. In-context
-on the served-taps fusion core via SEGMIF_PHASE_MAX_PLANE."""
+on the served-taps fusion core via SEGMIF_AB=phase_max_plane."""
 import os
 import time
 
@@ -53,10 +53,10 @@ def main():
     # caps -> strips at hp=240, wp=320 (s+10)*320: 48->18560, 60->22400
     # (default), 80->28800, 120->41600
     for cap in ("18560", "22400", "28800", "41600"):
-        os.environ["SEGMIF_PHASE_MAX_PLANE"] = cap
+        os.environ["SEGMIF_AB"] = "phase_max_plane=" + cap
         strip = _phase_strip_for(240, 320)
         t = timed_scan(core, (ir, vis) + tuple(taps))
-        del os.environ["SEGMIF_PHASE_MAX_PLANE"]
+        del os.environ["SEGMIF_AB"]
         tag = " (default)" if cap == "22400" else ""
         print(f"fusion core, phase cap {cap}{tag:10s} (strip {strip}): "
               f"{t:7.1f} ms ({b / t * 1000:5.1f} pairs/s core)", flush=True)

@@ -2,7 +2,7 @@
 
 Variants of the served-taps fusion core (the 153.6 ms hot block):
   tokens   — round-1 behavior: FFM flattens to [B, N, C] tokens
-             (SEGMIF_FFM_TOKENS=1)
+             (SEGMIF_AB=ffm_tokens)
   plane    — NEW default: rank-polymorphic folded FFM on phase planes
              (kills the 4 x 5.5 ms token relayouts seen in the profile)
   +nostrip — plane FFM + DRDB chain on whole phase planes (no halo strips)
@@ -58,14 +58,13 @@ def main():
         return fr + fy.mean()
 
     combos = [
-        ("tokens (round-1)", {"SEGMIF_FFM_TOKENS": "1"}),
+        ("tokens (round-1)", {"SEGMIF_AB": "ffm_tokens"}),
         ("plane FFM (new default)", {}),
-        ("plane + drdb-nostrip", {"SEGMIF_DRDB_PHASE_NOSTRIP": "1"}),
-        ("plane + split-reshape", {"SEGMIF_PHASE_SPLIT_RESHAPE": "1"}),
+        ("plane + drdb-nostrip", {"SEGMIF_AB": "drdb_phase_nostrip"}),
+        ("plane + split-reshape", {"SEGMIF_AB": "phase_split_reshape"}),
     ]
     for name, env in combos:
-        for k in ("SEGMIF_FFM_TOKENS", "SEGMIF_DRDB_PHASE_NOSTRIP",
-                  "SEGMIF_PHASE_SPLIT_RESHAPE"):
+        for k in ("SEGMIF_AB",):
             os.environ.pop(k, None)
         os.environ.update(env)
         t = timed_scan(fuse_served, (ir, vis) + tuple(taps))

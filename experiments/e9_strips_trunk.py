@@ -64,13 +64,13 @@ def main():
     # 139.6 ms with the OLD (slice-materializing) FFM fold -> strips was
     # briefly the default; e10 then measured the no-half-materialization
     # fold at phase 134.1 / strips-best 142.1, flipping the default back
-    # to phase (SEGMIF_STRIPS_TRUNK=1 is now the opt-IN).
+    # to phase (SEGMIF_AB=strips_trunk is now the opt-IN).
     combos = [
         ("phase trunk (default)", {}),
-        ("strips trunk + weighted folded FFM", {"SEGMIF_STRIPS_TRUNK": "1"}),
+        ("strips trunk + weighted folded FFM", {"SEGMIF_AB": "strips_trunk"}),
     ]
     for name, env in combos:
-        os.environ.pop("SEGMIF_STRIPS_TRUNK", None)
+        os.environ.pop("SEGMIF_AB", None)
         os.environ.update(env)
         t = timed_scan(fuse_served, (ir, vis) + tuple(taps))
         print(f"{name:38s}: {t:7.1f} ms  ({b / t * 1000:.1f} pairs/s core)",

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.ab import ab
+
 TILE_H = 96
 TILE_W = 128
 HALO = 12   # >= 10 (5 convs x reach 2); 12 keeps DMA block sizes 8-aligned
@@ -274,7 +276,8 @@ def supports(x_shape, channels: int, growth: int) -> bool:
 
 
 def drdb_grouped_xla(x: jnp.ndarray, w: Dict,
-                     edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                     edge_mask: jnp.ndarray | None = None,
+                     record=None) -> jnp.ndarray:
     """Grouped-weights DRDB in pure XLA: conv-over-concat == sum of
     per-source convs, so each source's contributions to all later convs are
     one WIDE conv (64->160, 32->128, 32->96, 32->64, 32->32). Numerically
@@ -324,6 +327,8 @@ def drdb_grouped_xla(x: jnp.ndarray, w: Dict,
     y4 = dconv(r4, grp(4))
     r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g]
                      + y2[..., 2 * g:3 * g] + y3[..., g:2 * g] + y4 + bs[4])
+    if record is not None:
+        record.append((x, r1, r2, r3, r4, r5))
     feat = jnp.concatenate([x, r1, r2, r3, r4, r5], -1)
     y = jax.lax.conv_general_dilated(
         feat, w["bottleneck"]["kernel"].astype(x.dtype), (1, 1), "VALID",
@@ -337,14 +342,14 @@ def phase_split(x: jnp.ndarray) -> jnp.ndarray:
     indexing + stack — measured ~16% faster than reshape/transpose on v5e
     STANDALONE (3.9 vs 4.6 ms at [8,480,640,64] bf16) AND in-context (e7
     round-3: 146.4 vs 155.8 ms fusion core). The reshape/transpose form
-    stays A/B-switchable via SEGMIF_PHASE_SPLIT_RESHAPE, read at TRACE time
+    stays A/B-switchable via SEGMIF_AB=phase_split_reshape, read at TRACE time
     (flipping it after jit has no effect; fresh jit per variant)."""
     import os
 
     b, h, wd, c = x.shape
     hp, wp = h // 2, wd // 2
     z = x.reshape(b, hp, 2, wp, 2, c)
-    if os.environ.get("SEGMIF_PHASE_SPLIT_RESHAPE"):
+    if ab("phase_split_reshape"):
         return z.transpose(0, 2, 4, 1, 3, 5).reshape(b, 4, hp, wp, c)
     return jnp.stack([z[:, :, i, :, j, :] for i in (0, 1) for j in (0, 1)],
                      1)
@@ -454,9 +459,9 @@ def refresh_strip_halos(xs: jnp.ndarray, b: int, strip: int,
     # look like 2.4 + 2.2 ms of avoidable traffic (round-3 addendum 3), but
     # the single-concat form measured SLOWER in-context (e10: 145.4 vs
     # 142.1 ms — the concat materializes the full tensor where the DUS pair
-    # fuses into consumers). SEGMIF_HALOS_CONCAT=1 (trace-time A/B) keeps
+    # fuses into consumers). SEGMIF_AB=halos_concat (trace-time A/B) keeps
     # the concat form for re-measurement.
-    if os.environ.get("SEGMIF_HALOS_CONCAT"):
+    if ab("halos_concat"):
         out = jnp.concatenate([top, owned, bot], axis=3)
         return out.reshape(xs.shape)
     x6 = x6.at[:, :, :, :halo].set(top)
@@ -464,17 +469,26 @@ def refresh_strip_halos(xs: jnp.ndarray, b: int, strip: int,
     return x6.reshape(xs.shape)
 
 
-def drdb_plane_core(xs: jnp.ndarray, w: Dict) -> jnp.ndarray:
+def drdb_plane_core(xs: jnp.ndarray, w: Dict, qscales=None,
+                    record=None) -> jnp.ndarray:
     """DRDB conv chain on WHOLE phase planes [B*4, hp, wp, C] (no halo
     strips). No re-zeroing mask is needed: the conv's SAME zero padding at
     the plane border IS the reference's image-border zero padding (phase
     planes tile the image by parity). Strips callers must use
-    drdb_strips_core, which requires an explicit in-image row mask."""
-    return _drdb_chain(xs, w, jax.nn.relu)
+    drdb_strips_core, which requires an explicit in-image row mask.
+
+    qscales: [6] calibrated amaxes -> run the int8 chain (kernels/int8.py);
+    record: list -> append (x, r1..r5) for calibration."""
+    if qscales is not None:
+        from .int8 import drdb_chain_int8
+
+        return drdb_chain_int8(xs, w, None, qscales, dil=1)
+    return _drdb_chain(xs, w, jax.nn.relu, record)
 
 
 def drdb_strips_core(xs: jnp.ndarray, w: Dict,
-                     m: jnp.ndarray) -> jnp.ndarray:
+                     m: jnp.ndarray, qscales=None,
+                     record=None) -> jnp.ndarray:
     """DRDB conv chain on halo strips [B*4*n, rows, wp, C] with in-image row
     mask m (re-zeroes activations outside the TRUE image after each conv,
     reproducing the reference's per-conv zero padding; interior strip halos
@@ -488,16 +502,23 @@ def drdb_strips_core(xs: jnp.ndarray, w: Dict,
         raise ValueError(
             "drdb_strips_core requires the in-image row mask; whole-plane "
             "inputs (no halo rows) go through drdb_plane_core")
+    if qscales is not None:
+        from .int8 import drdb_chain_int8
+
+        return drdb_chain_int8(xs, w, m, qscales, dil=1)
     m = m.astype(xs.dtype)
 
     def relu(t):
         return jax.nn.relu(t) * m
 
-    return _drdb_chain(xs, w, relu)
+    return _drdb_chain(xs, w, relu, record)
 
 
-def _drdb_chain(xs: jnp.ndarray, w: Dict, relu) -> jnp.ndarray:
-    """Shared dil-1 DRDB conv chain (strips and whole-plane layouts)."""
+def _drdb_chain(xs: jnp.ndarray, w: Dict, relu,
+                record=None) -> jnp.ndarray:
+    """Shared dil-1 DRDB conv chain (strips and whole-plane layouts).
+    record (optional list): calibration hook — appends (x, r1..r5), the
+    tensors whose abs-maxes become the int8 chain's static scales."""
     g = w["dconv1"]["kernel"].shape[-1]
     c = xs.shape[-1]
     dt = xs.dtype
@@ -532,16 +553,19 @@ def _drdb_chain(xs: jnp.ndarray, w: Dict, relu) -> jnp.ndarray:
     # through pallas_drdb_tail.drdb_tail: the XLA concat form by default
     # (measured FASTER than the fused Pallas tail, which pays ~16 ms of
     # producer-layout relayout copies — round-3 addendum 6); the kernel is
-    # opt-in via SEGMIF_PALLAS_TAIL=1. Distributing the bottleneck over
+    # opt-in via SEGMIF_AB=pallas_tail. Distributing the bottleneck over
     # the sources as 6 small XLA convs was also measured slower on v5e
     # (+8 ms/DRDB: each K=32 conv pays the per-conv floor).
+    if record is not None:
+        record.append((xs, r1, r2, r3, r4, r5))
     from .pallas_drdb_tail import drdb_tail
 
     return drdb_tail(xs, (r1, r2, r3, r4, r5), w)
 
 
 def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int,
-                    valid_rows=None) -> jnp.ndarray:
+                    valid_rows=None, qscales=None,
+                    record=None) -> jnp.ndarray:
     """DRDB on an already phase-split tensor [B, 4, hp, wp, C] (strip/halo
     handling internal; only cheap row-window gathers touch HBM layout).
     EXACT: same math as drdb_xla on the merged image, incl. the reference's
@@ -557,16 +581,17 @@ def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int,
         # drdb_grouped_xla's edge_mask does (with valid_rows=None the
         # out-of-image rows are _phase_strips' zero padding already)
         xs = xs * m.astype(xs.dtype)
-    out = drdb_strips_core(xs, w, m)
+    out = drdb_strips_core(xs, w, m, qscales, record)
     return _strips_phase(out, b, strip, halo)
 
 
-def drdb_apply_phase(xp: jnp.ndarray, w: Dict) -> jnp.ndarray:
+def drdb_apply_phase(xp: jnp.ndarray, w: Dict, qscales=None,
+                     record=None) -> jnp.ndarray:
     """DRDB for phase-layout tensors [B, 4, hp, wp, C] (the persistent
     phase-trunk path in models/fusion.py). Falls back through image space
     when no qualifying strip divides the phase height.
 
-    SEGMIF_DRDB_PHASE_NOSTRIP=1 runs the conv chain on the WHOLE phase
+    SEGMIF_AB=drdb_phase_nostrip runs the conv chain on the WHOLE phase
     planes [B*4, hp, wp, C] instead of halo strips — exact (SAME zero pad at
     the plane border == the reference's image-border padding in phase
     space), trades the strip gather/scatter traffic for the slower
@@ -576,13 +601,15 @@ def drdb_apply_phase(xp: jnp.ndarray, w: Dict) -> jnp.ndarray:
     import os
 
     b, _, hp, wp, c = xp.shape
-    if os.environ.get("SEGMIF_DRDB_PHASE_NOSTRIP"):
-        out = drdb_plane_core(xp.reshape(b * 4, hp, wp, c), w)
+    if ab("drdb_phase_nostrip"):
+        out = drdb_plane_core(xp.reshape(b * 4, hp, wp, c), w, qscales,
+                              record)
         return out.reshape(b, 4, hp, wp, c)
     strip = _phase_strip_for(hp, wp)
     if strip is not None:
-        return drdb_phase_core(xp, w, strip)
-    return phase_split(drdb_apply(phase_merge(xp), w))
+        return drdb_phase_core(xp, w, strip, None, qscales, record)
+    return phase_split(drdb_apply(phase_merge(xp), w, qscales=qscales,
+                                  record=record))
 
 
 def _phase_strip_for(hp: int, wp: int) -> int | None:
@@ -590,9 +617,9 @@ def _phase_strip_for(hp: int, wp: int) -> int | None:
     regime needs (strip + 2*halo) * wp <= ~20k px/plane; strip must divide
     the phase height. Prefers the largest qualifying divisor (fewer strips =
     less halo waste). Cap re-validated in-context round-3 (e19 sweep at
-    480x640: strip 60 fastest; 48 and 80 both lose). SEGMIF_PHASE_MAX_PLANE
+    480x640: strip 60 fastest; 48 and 80 both lose). SEGMIF_AB=phase_max_plane
     overrides the cap (trace-time A/B knob)."""
-    cap = int(os.environ.get("SEGMIF_PHASE_MAX_PLANE", "22400"))
+    cap = int(ab("phase_max_plane", "22400"))
     best = None
     for s in range(16, hp + 1):
         if hp % s:
@@ -621,9 +648,9 @@ def drdb_phase_xla(x: jnp.ndarray, w: Dict, strip: int) -> jnp.ndarray:
 
 
 def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto",
-               valid_rows=None) -> jnp.ndarray:
+               valid_rows=None, qscales=None, record=None) -> jnp.ndarray:
     """mode: 'auto' (phase-strip XLA on TPU when the geometry allows, else
-    grouped XLA; pallas if SEGMIF_DRDB_PALLAS=1 on TPU), 'phase', 'grouped',
+    grouped XLA; pallas if SEGMIF_AB=drdb_pallas on TPU), 'phase', 'grouped',
     'pallas', 'naive'.
 
     valid_rows (optional (lo, hi), static ints or traced scalars): treat
@@ -636,18 +663,20 @@ def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto",
     trunk."""
     import os
 
-    if mode == "naive" and valid_rows is None:
+    if mode == "naive" and valid_rows is None and qscales is None \
+            and record is None:
         return drdb_xla(x, w)
     if mode == "pallas" or (mode == "auto"
-                            and os.environ.get("SEGMIF_DRDB_PALLAS")):
+                            and ab("drdb_pallas")):
         from .attention import _on_tpu
 
-        if (valid_rows is None and _on_tpu()
+        if (valid_rows is None and qscales is None and record is None
+                and _on_tpu()
                 and supports(x.shape, x.shape[-1],
                              w["dconv1"]["kernel"].shape[-1])):
             return drdb_pallas(x, w)
     if mode == "phase" or (mode == "auto"
-                           and not os.environ.get("SEGMIF_DRDB_NO_PHASE")):
+                           and not ab("drdb_no_phase")):
         from .attention import _on_tpu
 
         b, h, wd, _ = x.shape
@@ -655,10 +684,14 @@ def drdb_apply(x: jnp.ndarray, w: Dict, mode: str = "auto",
             strip = _phase_strip_for(h // 2, wd // 2)
             if strip is not None:
                 return phase_merge(drdb_phase_core(
-                    phase_split(x), w, strip, valid_rows))
+                    phase_split(x), w, strip, valid_rows, qscales, record))
+    em = None
     if valid_rows is not None:
         lo, hi = valid_rows
         r = jnp.arange(x.shape[1])
         em = ((r >= lo) & (r < hi)).astype(x.dtype)[None, :, None, None]
-        return drdb_grouped_xla(x, w, edge_mask=em)
-    return drdb_grouped_xla(x, w)
+    if qscales is not None:
+        from .int8 import drdb_chain_int8
+
+        return drdb_chain_int8(x, w, em, qscales, dil=2)
+    return drdb_grouped_xla(x, w, edge_mask=em, record=record)

@@ -5,7 +5,7 @@ MEASURED OUTCOME: OPT-IN, NOT THE DEFAULT (see drdb_tail below) — the
 kernel is bit-exact and its own streaming is near-floor, but XLA surrounds
 it with ~16 ms of operand relayout copies because the conv producers emit
 batch-minor layouts a matmul kernel cannot view for free. Kept as the
-worked negative result + re-measurement hook (SEGMIF_PALLAS_TAIL=1);
+worked negative result + re-measurement hook (SEGMIF_AB=pallas_tail);
 OPTIMIZATION.md round-3 addendum 6 has the full layout analysis.
 
 Motivating profile (round-3 e12/e13, v5e, b8 480x640 bf16): the XLA tail
@@ -33,6 +33,8 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.ab import ab
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -152,7 +154,7 @@ def drdb_tail(xs, rs: Sequence[jnp.ndarray], w: dict) -> jnp.ndarray:
     there is NO free bitcast view and every operand pays a transpose.
     (The first attempt, standard-layout [S,R,W,C] blocks, additionally
     lane-padded the 32/64-channel tiles 4x/2x and OOM'd scoped VMEM at
-    22.8 MB.) Opt-in via SEGMIF_PALLAS_TAIL=1 (trace-time; flipping after
+    22.8 MB.) Opt-in via SEGMIF_AB=pallas_tail (trace-time; flipping after
     jit has no effect) for re-measurement on future toolchains; see
     OPTIMIZATION.md round-3 addendum 6."""
     import os
@@ -163,6 +165,6 @@ def drdb_tail(xs, rs: Sequence[jnp.ndarray], w: dict) -> jnp.ndarray:
     bb = w["bottleneck"]["bias"]
     if (_on_tpu() and xs.ndim == 4
             and (xs.shape[0] * xs.shape[1] * xs.shape[2]) % _TM == 0
-            and os.environ.get("SEGMIF_PALLAS_TAIL")):
+            and ab("pallas_tail")):
         return drdb_tail_pallas(xs, *rs, wb, bb)
     return _tail_xla(xs, tuple(rs), wb, bb)

@@ -43,6 +43,8 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.ab import ab
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -109,7 +111,7 @@ def crosspath_folded_xla(x1, x2, s, w: Dict, scale: float, num_heads: int,
     gram reads the sliced view directly instead of materializing a weight
     broadcast. NOTE measured SLOWER in-context than the weight multiply on
     the strips trunk (e10: XLA materializes the strided row window), so it
-    is opt-in (SEGMIF_STRIPS_GRAM_SLICE). Output rows outside the slice
+    is opt-in (SEGMIF_AB=strips_gram_slice). Output rows outside the slice
     are meaningless, as with token_weight.
 
     psum_axis (optional): a shard_map axis name over which the token set is
@@ -402,13 +404,13 @@ def crosspath_apply(x1, x2, s, w: Dict, scale: float, num_heads: int,
     the relu projections (same read-inputs-twice strategy as the two-pass
     kernel) and hits the chip's ~400 GB/s achievable HBM bandwidth; the
     Mosaic lowering of the gram/apply tiles does not. Pallas path kept
-    exact + opt-in (SEGMIF_FFM_PALLAS=1) for future Mosaic revisions."""
+    exact + opt-in (SEGMIF_AB=ffm_pallas) for future Mosaic revisions."""
     import os
 
     from .attention import _on_tpu
 
     if (token_weight is None and gram_slice is None
-            and os.environ.get("SEGMIF_FFM_PALLAS") and _on_tpu()):
+            and ab("ffm_pallas") and _on_tpu()):
         if x1.ndim > 3:  # the fused kernel tiles [B, N, C] tokens
             shp = x1.shape
             flat = lambda t: t.reshape(shp[0], -1, t.shape[-1])  # noqa: E731

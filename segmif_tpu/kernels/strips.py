@@ -26,12 +26,14 @@ def pick_strip(h: int, w: int, halo: int, max_plane: int = 42000):
     max_plane default from the round-3 e18 in-context sweep of the fusion
     TAIL convs at 480x640 (strip 48): 132.7 ms core vs 134.6 at the old
     19500 cap (strip 24, 25% halo-row overcompute) vs 139.3 at 86000
-    (strip 120, out of the fast conv regime). SEGMIF_TAIL_MAX_PLANE
+    (strip 120, out of the fast conv regime). SEGMIF_AB=tail_max_plane
     overrides it (trace-time A/B knob: flipping after jit has no
     effect)."""
     import os
 
-    env = os.environ.get("SEGMIF_TAIL_MAX_PLANE")
+    from ..utils.ab import ab
+
+    env = ab("tail_max_plane")
     if env:
         max_plane = int(env)
     best = None

@@ -40,6 +40,7 @@ from ..kernels.attention import (
     linear_ctx_blockdiag,
 )
 from ..ops.color import minmax_stretch
+from ..utils.ab import ab
 
 _DENSE_INIT = nn.initializers.truncated_normal(stddev=0.02)
 _CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -113,6 +114,9 @@ class DRDB(nn.Module):
     growth_rate: int = 32
     dtype: jnp.dtype = jnp.float32
     mode: str = "auto"
+    quant: str = "none"  # "none" | "calibrate" (record act amaxes into the
+                         # 'quant' collection, f32/bf16 math) | "int8"
+                         # (kernels/int8.py chain with the recorded scales)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, layout: str = "image",
@@ -132,11 +136,30 @@ class DRDB(nn.Module):
             cin += self.growth_rate
         k, b = _ConvWeights(cin, self.channels, 1, name="bottleneck")()
         w["bottleneck"] = {"kernel": k, "bias": b}
+        qvar = qscales = record = None
+        if self.quant != "none":
+            qvar = self.variable("quant", "amax",
+                                 lambda: jnp.zeros((6,), jnp.float32))
+            if self.quant == "int8":
+                qscales = qvar.value
+            elif self.quant == "calibrate":
+                record = []
+            else:
+                raise ValueError(f"unknown quant mode {self.quant!r}")
+        if self.is_initializing():
+            qscales = record = None
+        x = x.astype(self.dtype)
         if layout == "strips":
-            return drdb_strips_core(x.astype(self.dtype), w, mask)
-        if layout == "phase":
-            return drdb_apply_phase(x.astype(self.dtype), w)
-        return drdb_apply(x.astype(self.dtype), w, self.mode)
+            out = drdb_strips_core(x, w, mask, qscales, record)
+        elif layout == "phase":
+            out = drdb_apply_phase(x, w, qscales, record)
+        else:
+            out = drdb_apply(x, w, self.mode, qscales=qscales, record=record)
+        if record:
+            from ..kernels.int8 import record_amax
+
+            qvar.value = jnp.maximum(qvar.value, record_amax(record[0]))
+        return out
 
 
 class CrossAttentionSeg2Branches(nn.Module):
@@ -358,12 +381,12 @@ class FeatureFusionModule(nn.Module):
         # {1,2,0} layout for it (serving the gram dots) at the price of four
         # full-tensor relayouts, ~22 ms/step at 480x640 b8 — the top ops of
         # the round-2 profile (OPTIMIZATION.md round-2 addendum 7). Opt back
-        # into token flattening with SEGMIF_FFM_TOKENS=1 (A/B switch; read
+        # into token flattening with SEGMIF_AB=ffm_tokens (A/B switch; read
         # at TRACE time — flipping it after a function is jitted has no
         # effect, each variant needs a fresh jit. Measured SLOWER on v5e:
         # 153.2 vs 146.4 ms fusion core, e7 round-3).
         if (self.interaction == "both" and not self.return_context
-                and not os.environ.get("SEGMIF_FFM_TOKENS")):
+                and not ab("ffm_tokens")):
             tw = token_weight
             # when a gram_slice is given, it subsumes the weight on the
             # folded path (the weight stays the token-path fallback below)
@@ -440,6 +463,9 @@ class FusionNetwork(nn.Module):
     remat: bool = False  # rematerialize DRDBs + FFM rounds under grad
                          # (the dense-growth activations dominate training
                          # HBM at full resolution; see OPTIMIZATION.md)
+    quant: str = "none"  # DRDB precision: "none" | "calibrate" | "int8"
+                         # (serving-path PTQ; see kernels/int8.py and
+                         # serving.make_serving_fn(int8_calibration=...))
 
     @nn.compact
     def __call__(self, ir, vis_y, seg_tap1: Optional[jnp.ndarray] = None,
@@ -480,10 +506,10 @@ class FusionNetwork(nn.Module):
             # whose relayout cost the phase trunk paid in full; with those
             # gone, strips' halo-row overcompute (proj+FFM run on
             # rows=strip+2*halo) outweighs the per-DRDB strip
-            # gather/scatter it saves. SEGMIF_STRIPS_TRUNK=1 opts back in
+            # gather/scatter it saves. SEGMIF_AB=strips_trunk opts back in
             # (trace-time A/B switch, parity-tested). moam/soam always use
             # phase planes (their modular attention has no gram weight).
-            trunk = ("strips" if (os.environ.get("SEGMIF_STRIPS_TRUNK")
+            trunk = ("strips" if (ab("strips_trunk")
                                   and self.interaction
                                   not in ("moam", "soam"))
                      else "phase")
@@ -500,14 +526,14 @@ class FusionNetwork(nn.Module):
             halo = _PHASE_HALO
             n_strips = hp // strip
             rows = strip + 2 * halo
-            # gram over the owned-row window: SEGMIF_STRIPS_GRAM_SLICE=1
+            # gram over the owned-row window: SEGMIF_AB=strips_gram_slice
             # (trace-time A/B) makes the folded FFM read a SLICE of the
             # [B, 4, n, rows, wp, C] view for its gram reductions instead
             # of multiplying by the 0/1 weight. Measured SLOWER in-context
             # (e10: 146.5 vs 145.4 ms — XLA materializes the strided row
             # window, costing more than the weight broadcast it avoids), so
             # the weight-multiply gram is the default.
-            if os.environ.get("SEGMIF_STRIPS_GRAM_SLICE"):
+            if ab("strips_gram_slice"):
                 gs = lambda t: t[:, :, :, halo:halo + strip]  # noqa: E731
             tw = owned_token_weight(b, n_strips, strip, halo, wp, jnp.float32)
             mask = strip_row_mask(b, n_strips, strip, halo, hp)
@@ -545,7 +571,7 @@ class FusionNetwork(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC")
             ) + b.astype(self.dtype)
 
-        if os.environ.get("SEGMIF_CONV1_PAIRED") and trunk != "image":
+        if ab("conv1_paired") and trunk != "image":
             # ONE entry conv + ONE phase split on the channel-paired pair
             # instead of two of each (identical math: block-diagonal kernel
             # over the 2 input channels; prelu commutes with the concat).
@@ -561,8 +587,10 @@ class FusionNetwork(nn.Module):
             x1 = to_trunk(_prelu(conv3x3(ir[..., 0:1], k_ir, b_ir), alpha))
             x2 = to_trunk(_prelu(conv3x3(vis_y[..., 0:1], k_vis, b_vis),
                                  alpha))
-        x1 = drdb_cls(ch, dtype=self.dtype, name="drdb1")(x1, trunk, mask)
-        x2 = drdb_cls(ch, dtype=self.dtype, name="drdb2")(x2, trunk, mask)
+        x1 = drdb_cls(ch, dtype=self.dtype, quant=self.quant,
+                      name="drdb1")(x1, trunk, mask)
+        x2 = drdb_cls(ch, dtype=self.dtype, quant=self.quant,
+                      name="drdb2")(x2, trunk, mask)
 
         def tap_to_trunk(tap, name):
             """seg tap -> trunk layout. Accepts the tap at FULL resolution
@@ -596,8 +624,10 @@ class FusionNetwork(nn.Module):
         if trunk == "strips":
             x1 = refresh_strip_halos(x1, b, strip, halo)
             x2 = refresh_strip_halos(x2, b, strip, halo)
-        x1 = drdb_cls(ch, dtype=self.dtype, name="drdb3")(x1, trunk, mask)
-        x2 = drdb_cls(ch, dtype=self.dtype, name="drdb4")(x2, trunk, mask)
+        x1 = drdb_cls(ch, dtype=self.dtype, quant=self.quant,
+                      name="drdb3")(x1, trunk, mask)
+        x2 = drdb_cls(ch, dtype=self.dtype, quant=self.quant,
+                      name="drdb4")(x2, trunk, mask)
         if self.interaction != "none":
             x1, x2 = self._interact(img6(x1), img6(x2),
                                     img6(tap_to_trunk(seg_tap2, "seg_proj2")),
@@ -613,7 +643,7 @@ class FusionNetwork(nn.Module):
         conv22 = None if short_tail else nn.Conv(
             1, (3, 3), padding=[(1, 1), (1, 1)],
             kernel_init=_CONV_INIT, dtype=self.dtype, name="conv22")
-        split2 = (os.environ.get("SEGMIF_CONV2_SPLIT")
+        split2 = (ab("conv2_split")
                   and trunk == "phase" and _use_strips())
         if not split2:
             y = jnp.concatenate([x1, x2], axis=-1)
@@ -670,14 +700,14 @@ class FusionNetwork(nn.Module):
         if self.interaction in ("both", "moam", "soam"):
             import os
 
-            if os.environ.get("SEGMIF_FFM_BARRIER"):
+            if ab("ffm_barrier"):
                 # keep XLA from fusing the surrounding layout transforms
                 # into the FFM matmuls (experiment; see OPTIMIZATION.md)
                 x1, x2, s = jax.lax.optimization_barrier((x1, x2, s))
             # weight-shared FFM across both rounds — the reference reuses
             # self.ffm and never calls ffm2 (model_fusion.py:1058,1061)
             out = ffm(x1, x2, s, token_weight, gram_slice)
-            if os.environ.get("SEGMIF_FFM_BARRIER"):
+            if ab("ffm_barrier"):
                 out = jax.lax.optimization_barrier(out)
             if self.return_attention:
                 attn_maps.append(out[2])

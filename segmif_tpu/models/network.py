@@ -134,13 +134,19 @@ class JointPipeline(nn.Module):
     remat: bool = False  # rematerialize encoder blocks + fusion DRDB/FFM
                          # (trade recompute for HBM; enables full-res
                          # large-batch TRAINING that otherwise OOMs)
+    quant: str = "none"  # DRDB precision for the serving path: "none" |
+                         # "calibrate" (one recording pass fills the
+                         # 'quant' collection with activation amaxes) |
+                         # "int8" (calibrated int8 DRDB convs,
+                         # kernels/int8.py; measured 2x MXU rate on v5e)
 
     def setup(self):
         self.seg = SegmentationNetwork(self.backbone, self.num_classes,
                                        self.embedding_dim, self.dtype,
                                        self.remat)
         self.fusion = FusionNetwork(interaction=self.interaction,
-                                    dtype=self.dtype, remat=self.remat)
+                                    dtype=self.dtype, remat=self.remat,
+                                    quant=self.quant)
 
     def guide_taps(self, guide_rgb: jnp.ndarray,
                    deterministic: bool = True):

@@ -45,8 +45,34 @@ def precompute_guide_taps(model, variables, guide_rgb: jnp.ndarray):
     return fn(variables, guide_rgb)
 
 
+def quantize_for_serving(model, variables, calibration_pairs,
+                         guide_rgb: Optional[jnp.ndarray] = None,
+                         vis_channel: str = "r"):
+    """Calibrate + enable the int8 DRDB path (kernels/int8.py).
+
+    calibration_pairs: ``(ir, vis)`` arrays of representative inputs (one
+    batch is enough — the scales are per-tensor abs-maxes). Returns
+    ``(model_int8, variables_with_quant_collection)``: the model clone runs
+    the fusion DRDBs as calibrated int8 convs (measured 2x the bf16 MXU
+    conv rate on v5e, experiments/e20_int8_drdb.py); accuracy cost is
+    recorded by accuracy.py --drift_int8."""
+    ir_cal, vis_cal = calibration_pairs
+    model_cal = model.clone(quant="calibrate", parent=None)
+    variables_cal = model_cal.init(
+        jax.random.PRNGKey(0), ir_cal[:1], vis_cal[:1])
+    seed = {k: v for k, v in variables.items()}
+    seed["quant"] = variables_cal["quant"]
+    _, upd = model_cal.apply(seed, ir_cal, vis_cal, taps=None,
+                             vis_channel=vis_channel,
+                             guide_rgb=guide_rgb, mutable=["quant"])
+    out_vars = {k: v for k, v in variables.items()}
+    out_vars["quant"] = upd["quant"]
+    return model.clone(quant="int8", parent=None), out_vars
+
+
 def make_serving_fn(model, variables, guide_rgb: Optional[jnp.ndarray] = None,
-                    with_seg: bool = True, vis_channel: str = "r"):
+                    with_seg: bool = True, vis_channel: str = "r",
+                    int8_calibration=None):
     """Build the jitted serving closure ``(ir, vis) -> outputs``.
 
     ir: [B,H,W,1] float32 in [0,1]; vis: [B,H,W,3] float32 in [0,1].
@@ -56,7 +82,13 @@ def make_serving_fn(model, variables, guide_rgb: Optional[jnp.ndarray] = None,
     When ``guide_rgb`` is given, its taps are computed now and captured as
     closure constants; otherwise the guide defaults to the VIS frame per
     pair (the reference's val_fusion behavior when no Mask2 guide exists).
+
+    ``int8_calibration=(ir_cal, vis_cal)`` quantizes the fusion DRDBs to
+    calibrated int8 first (see quantize_for_serving).
     """
+    if int8_calibration is not None:
+        model, variables = quantize_for_serving(
+            model, variables, int8_calibration, guide_rgb, vis_channel)
     taps = None
     if guide_rgb is not None:
         taps = precompute_guide_taps(model, variables, guide_rgb)

@@ -176,20 +176,21 @@ def test_fusion_network_phase_trunk_matches_image_trunk(interaction,
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("flag", ["SEGMIF_FFM_TOKENS",
-                                  "SEGMIF_DRDB_PHASE_NOSTRIP",
-                                  "SEGMIF_PHASE_SPLIT_RESHAPE",
-                                  "SEGMIF_STRIPS_TRUNK",
-                                  "SEGMIF_STRIPS_GRAM_SLICE",
-                                  "SEGMIF_HALOS_CONCAT",
-                                  "SEGMIF_CONV1_PAIRED",
-                                  "SEGMIF_CONV2_SPLIT"])
-def test_layout_ab_flags_match_default(flag, monkeypatch):
-    """Every layout A/B env switch (measured slower on v5e and kept only as
-    an experiment toggle — OPTIMIZATION.md round-3) is numerically EXACT vs
-    the default path. NOTE: these flags are read at trace time; each apply
-    below builds a fresh trace, which is the only supported way to flip
-    them (advisor round-2 #3/#4)."""
+@pytest.mark.parametrize("token", ["ffm_tokens",
+                                   "drdb_phase_nostrip",
+                                   "phase_split_reshape",
+                                   "strips_trunk",
+                                   "strips_trunk,strips_gram_slice",
+                                   "strips_trunk,halos_concat",
+                                   "conv1_paired",
+                                   "conv2_split"])
+def test_layout_ab_flags_match_default(token, monkeypatch):
+    """Every layout A/B switch (measured slower on v5e and kept only as an
+    experiment toggle behind SEGMIF_AB=<token> — OPTIMIZATION.md round-3,
+    segmif_tpu/utils/ab.py registry) is numerically EXACT vs the default
+    path. NOTE: the tokens are read at trace time; each apply below builds
+    a fresh trace, which is the only supported way to flip them (advisor
+    round-2 #3/#4)."""
     from segmif_tpu.models.fusion import FusionNetwork
 
     rng = np.random.default_rng(17)
@@ -199,24 +200,56 @@ def test_layout_ab_flags_match_default(flag, monkeypatch):
     tap2 = jnp.asarray(rng.normal(size=(2, 48, 64, 24)).astype(np.float32))
     m = FusionNetwork(channels=16, num_heads=4)
     params = m.init(KEY, ir, vis, tap1, tap2)
-    # the flags only have consumers on the phase/strips trunks (TPU
+    # the switches only have consumers on the phase/strips trunks (TPU
     # default); force the trunk on so the CPU test exercises the real code
-    # paths. The strips-internal A/B flags additionally need the strips
-    # trunk active in BOTH runs.
+    # paths. The strips-internal A/B tokens carry strips_trunk in BOTH
+    # runs... except the reference run, which must stay the true default;
+    # compare against a strips-trunk baseline for those.
     monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
-    if flag in ("SEGMIF_STRIPS_GRAM_SLICE", "SEGMIF_HALOS_CONCAT"):
-        monkeypatch.setenv("SEGMIF_STRIPS_TRUNK", "1")
-    if flag == "SEGMIF_CONV2_SPLIT":
+    base = "strips_trunk" if token.startswith("strips_trunk,") else ""
+    if token == "conv2_split":
         # the split consumer also needs the strip-conv tail active
-        # (SEGMIF_PALLAS_TAIL is covered by its dedicated interpret-mode
+        # (SEGMIF_AB=pallas_tail is covered by its dedicated interpret-mode
         # test in test_drdb_kernel.py — this test's shapes don't divide
         # the kernel's tile, so the dispatcher would silently fall back)
         monkeypatch.setenv("SEGMIF_FORCE_STRIPS", "1")
-    monkeypatch.delenv(flag, raising=False)
+    if base:
+        monkeypatch.setenv("SEGMIF_AB", base)
+    else:
+        monkeypatch.delenv("SEGMIF_AB", raising=False)
     ref = m.apply(params, ir, vis, tap1, tap2)
-    monkeypatch.setenv(flag, "1")
+    monkeypatch.setenv("SEGMIF_AB", token)
     got = m.apply(params, ir, vis, tap1, tap2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_ab_default_value_tokens_match_unset(monkeypatch):
+    """Setting the surviving tuning knobs to their DEFAULT values through
+    SEGMIF_AB must be a no-op vs an empty environment — catches accidental
+    coupling between the A/B registry and real configuration (VERDICT r3
+    weak #5). Also pins the registry API: unknown tokens raise."""
+    import pytest as _pytest
+
+    from segmif_tpu.models.fusion import FusionNetwork
+    from segmif_tpu.utils.ab import ab
+
+    rng = np.random.default_rng(23)
+    ir = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    vis = jnp.asarray(rng.uniform(size=(2, 48, 64, 1)).astype(np.float32))
+    tap1 = jnp.asarray(rng.normal(size=(2, 48, 64, 16)).astype(np.float32))
+    tap2 = jnp.asarray(rng.normal(size=(2, 48, 64, 24)).astype(np.float32))
+    m = FusionNetwork(channels=16, num_heads=4)
+    params = m.init(KEY, ir, vis, tap1, tap2)
+    monkeypatch.setenv("SEGMIF_FORCE_PHASE_TRUNK", "1")
+    monkeypatch.delenv("SEGMIF_AB", raising=False)
+    ref = m.apply(params, ir, vis, tap1, tap2)
+    monkeypatch.setenv("SEGMIF_AB",
+                       "phase_max_plane=22400,tail_max_plane=42000")
+    got = m.apply(params, ir, vis, tap1, tap2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+    monkeypatch.setenv("SEGMIF_AB", "not_a_registered_token")
+    with _pytest.raises(ValueError):
+        ab("ffm_tokens")
 
 
 @pytest.mark.parametrize("force_phase", [False, True])
