@@ -139,11 +139,18 @@ class JointPipeline(nn.Module):
                          # 'quant' collection with activation amaxes) |
                          # "int8" (calibrated int8 DRDB convs,
                          # kernels/int8.py; measured 2x MXU rate on v5e)
+    remat_seg: Optional[bool] = None  # override remat for the seg branch
+                         # only (None = follow `remat`). The fusion-phase
+                         # train step differentiates THROUGH the frozen seg
+                         # net; its activation footprint differs 4x from
+                         # the fusion net's, so the optimal remat split is
+                         # an empirical question (e21, OPTIMIZATION.md r4).
 
     def setup(self):
+        rs = self.remat if self.remat_seg is None else self.remat_seg
         self.seg = SegmentationNetwork(self.backbone, self.num_classes,
                                        self.embedding_dim, self.dtype,
-                                       self.remat)
+                                       rs)
         self.fusion = FusionNetwork(interaction=self.interaction,
                                     dtype=self.dtype, remat=self.remat,
                                     quant=self.quant)
