@@ -91,9 +91,9 @@ def run_overfit() -> dict:
     }
 
 
-def _drift_pair(model_a, model_b, variables, ir, vis):
-    """fused-Y SSIM / maxdiff / argmax agreement between two pipelines on
-    the same weights+inputs."""
+def _drift_pair(pair_a, pair_b, ir, vis):
+    """fused-Y SSIM / maxdiff / argmax agreement between two (model,
+    variables) pipelines on the same inputs."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,7 +101,7 @@ def _drift_pair(model_a, model_b, variables, ir, vis):
     from segmif_tpu.ops.ssim import ssim
 
     outs = []
-    for model in (model_a, model_b):
+    for model, variables in (pair_a, pair_b):
         fused_rgb, fused_y, logits = jax.jit(
             lambda v, a, c, m=model: m.apply(v, a, c))(variables, ir, vis)
         outs.append((np.asarray(fused_y, dtype=np.float32),
@@ -155,20 +155,16 @@ def run_drift(with_int8: bool) -> dict:
 
     f32 = JointPipeline("mit_b1", num_classes=9, dtype=jnp.float32)
     bf16 = JointPipeline("mit_b1", num_classes=9, dtype=jnp.bfloat16)
-    out = {"bf16_vs_f32": _drift_pair(f32, bf16, variables, ir, vis)}
+    out = {"bf16_vs_f32": _drift_pair((f32, variables), (bf16, variables),
+                                      ir, vis)}
     if with_int8:
-        os.environ["SEGMIF_AB"] = (os.environ.get("SEGMIF_AB", "")
-                                   + ",drdb_int8").strip(",")
-        try:
-            int8 = JointPipeline("mit_b1", num_classes=9, dtype=jnp.bfloat16)
-            out["int8_vs_f32"] = _drift_pair(f32, int8, variables, ir, vis)
-        finally:
-            toks = [t for t in os.environ["SEGMIF_AB"].split(",")
-                    if t != "drdb_int8"]
-            if toks:
-                os.environ["SEGMIF_AB"] = ",".join(toks)
-            else:
-                del os.environ["SEGMIF_AB"]
+        from segmif_tpu.serving import quantize_for_serving
+
+        model_q, vars_q = quantize_for_serving(bf16, variables, (ir, vis))
+        out["int8_vs_f32"] = _drift_pair((f32, variables), (model_q, vars_q),
+                                         ir, vis)
+        out["int8_vs_bf16"] = _drift_pair((bf16, variables),
+                                          (model_q, vars_q), ir, vis)
     return out
 
 

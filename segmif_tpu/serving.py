@@ -115,17 +115,20 @@ def export_serving_artifact(model, variables, batch: int, height: int,
                             guide_rgb: Optional[jnp.ndarray] = None,
                             with_seg: bool = True,
                             vis_channel: str = "r",
-                            platforms: Optional[Sequence[str]] = None
-                            ) -> bytes:
+                            platforms: Optional[Sequence[str]] = None,
+                            int8_calibration=None) -> bytes:
     """Lower + serialize the serving closure to portable StableHLO bytes.
 
     Weights (and precomputed guide taps) are baked into the module as
     constants — the artifact is self-contained. ``platforms`` lowers for
     several backends in one artifact (e.g. ``("tpu", "cpu")``); lowering
-    for TPU does NOT require TPU hardware.
+    for TPU does NOT require TPU hardware. ``int8_calibration=(ir, vis)``
+    bakes the calibrated int8 DRDB path (weights ship as int8 module
+    constants + scales — the artifact itself carries the quantization).
     """
     serve = make_serving_fn(model, variables, guide_rgb=guide_rgb,
-                            with_seg=with_seg, vis_channel=vis_channel)
+                            with_seg=with_seg, vis_channel=vis_channel,
+                            int8_calibration=int8_calibration)
     ir_spec = jax.ShapeDtypeStruct((batch, height, width, 1), jnp.float32)
     vis_spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
     # The Pallas sr-attention kernel only lowers for TPU. Its dispatch is

@@ -126,3 +126,36 @@ def test_multiplatform_export_with_pallas_capable_shapes(tmp_path):
     fn = load_serving_artifact(p)
     fused_rgb, pred = fn(ir, vis)
     assert fused_rgb.shape == (1, h, w, 3) and pred.shape == (1, h, w)
+
+
+def test_serving_fn_int8_calibration(tiny_pipeline):
+    """int8_calibration quantizes the DRDB path: the serving closure still
+    produces a fused image close to the f32 one (quantization-noise bound)
+    and an int32 class map; the quantized weights ride inside the closure."""
+    model, variables, ir, vis = tiny_pipeline
+    serve = serving.make_serving_fn(model, variables,
+                                    int8_calibration=(ir, vis))
+    fused_rgb, pred = serve(ir, vis)
+    ref_rgb, _, _ = model.apply(variables, ir, vis)
+    d = np.asarray(fused_rgb) - np.asarray(ref_rgb)
+    assert float(np.sqrt((d ** 2).mean())) < 0.15, (
+        f"int8 serving fused-RGB rmse {float(np.sqrt((d**2).mean())):.4f}")
+    assert pred.dtype == jnp.int32
+
+
+def test_export_roundtrip_int8(tiny_pipeline, tmp_path):
+    """The int8-quantized closure exports to StableHLO and reproduces the
+    in-process int8 outputs bit-exactly on the same platform."""
+    model, variables, ir, vis = tiny_pipeline
+    serve = serving.make_serving_fn(model, variables,
+                                    int8_calibration=(ir, vis))
+    ref_rgb, ref_pred = serve(ir, vis)
+    data = serving.export_serving_artifact(
+        model, variables, 1, 32, 32, int8_calibration=(ir, vis))
+    path = tmp_path / "art_int8.stablehlo"
+    serving.save_serving_artifact(path, data)
+    call = serving.load_serving_artifact(path)
+    got_rgb, got_pred = call(ir, vis)
+    np.testing.assert_array_equal(np.asarray(got_pred), np.asarray(ref_pred))
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(ref_rgb),
+                               atol=1e-6)
