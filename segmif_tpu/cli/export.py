@@ -44,6 +44,15 @@ def main(argv=None):
     p.add_argument("--fuse_only", action="store_true",
                    help="export fusion only (no segmentation head)")
     p.add_argument("--vis_channel", default="r", choices=["r", "y"])
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the fusion DRDBs to calibrated int8 "
+                        "(kernels/int8.py); calibration uses --calib_ir/"
+                        "--calib_vis images, or the static guide / random "
+                        "data as fallback")
+    p.add_argument("--calib_ir", default=None,
+                   help="IR image for int8 calibration")
+    p.add_argument("--calib_vis", default=None,
+                   help="VIS image for int8 calibration")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -68,10 +77,39 @@ def main(argv=None):
         guide = jnp.asarray(g)[None]
 
     platforms = args.platforms.split(",") if args.platforms else None
+    int8_calibration = None
+    if args.int8:
+        from pathlib import Path
+
+        from ..data.datasets import _load_image
+
+        def load01(path, gray):
+            a = np.asarray(_load_image(Path(path), gray_to_rgb=not gray),
+                           np.float32)
+            if a.max() > 1.5:
+                a = a / 255.0
+            if gray:
+                a = a[..., :1]
+            return jnp.asarray(a)[None]
+
+        if args.calib_ir and args.calib_vis:
+            ir_cal = load01(args.calib_ir, gray=True)
+            vis_cal = load01(args.calib_vis, gray=False)
+        else:
+            # fallback: calibrate on the guide (or uniform noise) — amaxes
+            # only need representative DYNAMIC RANGE, inputs are [0,1]
+            rng = np.random.default_rng(0)
+            vis_cal = (guide if guide is not None else jnp.asarray(
+                rng.uniform(0, 1, (1, args.height, args.width, 3))
+                .astype(np.float32)))
+            ir_cal = jnp.asarray(rng.uniform(
+                0, 1, (1, args.height, args.width, 1)).astype(np.float32))
+        int8_calibration = (ir_cal, vis_cal)
     data = serving.export_serving_artifact(
         model, variables, args.batch, args.height, args.width,
         guide_rgb=guide, with_seg=not args.fuse_only,
-        vis_channel=args.vis_channel, platforms=platforms)
+        vis_channel=args.vis_channel, platforms=platforms,
+        int8_calibration=int8_calibration)
     serving.save_serving_artifact(args.out, data)
     specs = serving.serving_input_specs(args.out)
     print(f"wrote {args.out}: {len(data)/1e6:.1f} MB, inputs {specs}, "

@@ -68,6 +68,7 @@ def test_export_roundtrip(tmp_path, tiny_pipeline):
     assert specs == (((1, 32, 32, 1), "float32"), ((1, 32, 32, 3), "float32"))
 
 
+@pytest.mark.slow
 def test_export_multiplatform_lowering(tmp_path, tiny_pipeline):
     """Lowering for TPU must not require TPU hardware; the cpu entry in the
     same artifact still executes here."""
@@ -82,6 +83,7 @@ def test_export_multiplatform_lowering(tmp_path, tiny_pipeline):
     assert pred.shape == (1, 32, 32)
 
 
+@pytest.mark.slow
 def test_export_cli(tmp_path):
     from segmif_tpu.cli.export import main as export_main
 
@@ -96,6 +98,7 @@ def test_export_cli(tmp_path):
     assert fused_rgb.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_multiplatform_export_with_pallas_capable_shapes(tmp_path):
     """Regression: a tpu+cpu export must not bake the Pallas sr-attention
     kernel into the CPU lowering ("Only interpret mode is supported on CPU
@@ -143,6 +146,7 @@ def test_serving_fn_int8_calibration(tiny_pipeline):
     assert pred.dtype == jnp.int32
 
 
+@pytest.mark.slow
 def test_export_roundtrip_int8(tiny_pipeline, tmp_path):
     """The int8-quantized closure exports to StableHLO and reproduces the
     in-process int8 outputs bit-exactly on the same platform."""
