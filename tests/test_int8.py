@@ -141,3 +141,35 @@ def test_fusion_network_calibrate_then_int8(monkeypatch):
     assert float(np.sqrt((d ** 2).mean())) < 0.25 * float(np.std(ref)), (
         f"int8 end-to-end rmse {float(np.sqrt((d**2).mean())):.4f} vs "
         f"ref std {float(np.std(ref)):.4f}")
+
+
+@pytest.mark.slow
+def test_int8_pallas_kernel_matches_xla_chain():
+    """The fused int8 whole-DRDB Pallas kernel (pallas_drdb_int8.py,
+    interpret mode) reproduces the XLA int8 chain on strips: same scales,
+    same epilogue order; tolerance covers reciprocal-vs-division rounding
+    at requant boundaries (<= 1 LSB in an r_i, damped by the bottleneck)."""
+    from segmif_tpu.kernels.int8 import drdb_chain_int8, record_amax
+    from segmif_tpu.kernels.pallas_drdb import (_phase_strips, phase_split,
+                                                drdb_strips_core)
+    from segmif_tpu.kernels.pallas_drdb_int8 import drdb_strips_int8_pallas
+
+    rng = np.random.default_rng(5)
+    w = _weights(rng)  # c=16, g=8
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 16)).astype(np.float32))
+    xp = phase_split(x)
+    xs, m = _phase_strips(xp, 8, 5)
+    record = []
+    drdb_strips_core(xs, w, m, record=record)
+    amax = record_amax(record[0])
+
+    ref = drdb_chain_int8(xs, w, m, amax, dil=1)
+    got = drdb_strips_int8_pallas(xs, w, m, amax, interpret=True)
+    # compare on OWNED rows only (halo rows are stale in both, but the
+    # kernel's zero-fill dy shifts differ from the chain's conv padding
+    # in the outermost halo ring)
+    halo = 5
+    ro = np.asarray(ref)[:, halo:-halo]
+    go = np.asarray(got)[:, halo:-halo]
+    d = np.abs(go - ro)
+    assert float(d.max()) < 0.02, f"kernel-vs-chain maxdiff {d.max():.5f}"
