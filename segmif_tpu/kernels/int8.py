@@ -75,6 +75,15 @@ def drdb_chain_int8(xs: jnp.ndarray, w: Dict, m: Optional[jnp.ndarray],
     g = w["dconv1"]["kernel"].shape[-1]
     c = xs.shape[-1]
     out_dtype = xs.dtype
+    if dil == 1 and m is not None and xs.ndim == 4:
+        from ..utils.ab import ab
+
+        if ab("drdb_int8_pallas"):
+            from .attention import _on_tpu
+            from .pallas_drdb_int8 import drdb_strips_int8_pallas
+
+            if _on_tpu():
+                return drdb_strips_int8_pallas(xs, w, m, amax)
     ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
     bs = [w[f"dconv{i + 1}"]["bias"].astype(jnp.float32) for i in range(5)]
     mf = None if m is None else m.astype(jnp.float32)

@@ -35,6 +35,7 @@ KNOWN = {
     "drdb_no_phase": "disable phase decomposition (grouped conv fallback)",
     "pallas_tail": "fused DRDB-tail kernel: LOST add. 6 (relayout tax)",
     "drdb_int8": "int8 DRDB conv path (round-4 A/B; see OPTIMIZATION.md)",
+    "drdb_int8_pallas": "fused int8 whole-DRDB kernel (round-4 attempt)",
     "phase_max_plane": "DRDB phase-strip px cap (default 22400, e19 sweep)",
     "tail_max_plane": "fusion-tail strip px cap (default 42000, e18 sweep)",
 }
