@@ -105,7 +105,7 @@ def drdb_chain_int8(xs: jnp.ndarray, w: Dict, m: Optional[jnp.ndarray],
 
     def relu_q(t, idx):
         """relu + in-image re-zero + requant to int8 at scale s_in[idx]."""
-        t = jax.nn.relu(t)
+        t = jax.nn.relu(t.astype(jnp.float32))
         if mf is not None:
             t = t * mf
         return jnp.clip(jnp.round(t / s_in[idx]), -127, 127
@@ -120,7 +120,13 @@ def drdb_chain_int8(xs: jnp.ndarray, w: Dict, m: Optional[jnp.ndarray],
         sw.append(sw_)
 
     def deq(acc, s, src_idx):
-        return acc.astype(jnp.float32) * (sw[s] * s_in[src_idx])
+        # partial sums are stored at BF16 width: the f32 form doubled the
+        # chain's intermediate HBM traffic and measured SLOWER in-context
+        # than the bf16 chain despite 2.1x convs (e22 first cut,
+        # OPTIMIZATION.md round-4); bf16 partials restore traffic parity.
+        # The requant epilogues upcast to f32 locally (XLA fuses).
+        return (acc.astype(jnp.float32)
+                * (sw[s] * s_in[src_idx])).astype(jnp.bfloat16)
 
     yx = deq(iconv(xq, qk[0]), 0, 0)                       # [*, 5g] f32
     r1 = relu_q(yx[..., 0:g] + bs[0], 1)

@@ -92,8 +92,9 @@ def _make_kernel(rows: int, wp: int, c: int, g: int, out_dtype):
     def kernel(lo_ref, hi_ref, xq_ref, xbf_ref, w0, w1, w2, w3, w4, wb,
                sv0, sv1, sv2, sv3, sv4, svb, bias_ref, invs_ref, bb_ref,
                o_ref):
-        lo = lo_ref[0, 0]
-        hi = hi_ref[0, 0]
+        p = pl.program_id(0)
+        lo = lo_ref[p]
+        hi = hi_ref[p]
         m = flat_row_mask(lo, hi)                      # [npix, 1] f32
         bias = bias_ref[...]                           # [1, 5g] f32
         invs = invs_ref[...]                           # [1, 8] f32
@@ -187,14 +188,15 @@ def drdb_strips_int8_pallas(xs: jnp.ndarray, w: Dict, m: jnp.ndarray,
     svb = swb.reshape(1, -1).astype(jnp.float32)
     bb = w["bottleneck"]["bias"].reshape(1, -1).astype(jnp.float32)
 
-    # mask -> per-strip contiguous (lo, hi) valid-row bounds
+    # mask -> per-strip contiguous (lo, hi) valid-row bounds, passed as
+    # WHOLE [S] int32 arrays in SMEM (per-program (1,1) SMEM blocks violate
+    # the Pallas block-divisibility rule; indexing by program_id inside
+    # the kernel is the supported pattern)
     mrows = (m.reshape(S, rows) > 0)
-    lo = jnp.argmax(mrows, axis=1).astype(jnp.int32).reshape(S, 1)
-    hi = (rows - jnp.argmax(mrows[:, ::-1], axis=1)).astype(jnp.int32
-                                                            ).reshape(S, 1)
+    lo = jnp.argmax(mrows, axis=1).astype(jnp.int32)
+    hi = (rows - jnp.argmax(mrows[:, ::-1], axis=1)).astype(jnp.int32)
 
-    smem = pl.BlockSpec((1, 1), lambda p: (p, 0),
-                        memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     rep2 = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-array weights
 
     out = pl.pallas_call(

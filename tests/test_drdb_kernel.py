@@ -104,6 +104,7 @@ def test_phase_strip_selection():
     assert pd._phase_strip_for(7, 4096) is None
 
 
+@pytest.mark.slow  # ~15 s; strips/tail parity is also covered in-model
 def test_tail_strip_chain_matches_plain(monkeypatch):
     """The fusion tail's halo-strip conv chain is exact, including the
     re-zeroing of out-of-image halo rows between convs."""

@@ -2,6 +2,11 @@
 1080p stretch config — no compilation, just jax.eval_shape."""
 import jax
 import jax.numpy as jnp
+import pytest
+
+# trace-only but flagship-scale traces take 15-25 s each on this host;
+# the driver exercises __graft_entry__ directly every round
+pytestmark = pytest.mark.slow
 
 from segmif_tpu.config import load_yaml
 from segmif_tpu.models.mit import MIT_VARIANTS, MixVisionTransformer

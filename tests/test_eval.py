@@ -22,6 +22,7 @@ def _model_and_vars():
     return model, variables
 
 
+@pytest.mark.slow  # end-to-end regenerate+eval: ~70 s CPU
 def test_generate_fused_and_seg_eval(tmp_path):
     model, variables = _model_and_vars()
     ds = SyntheticFusionDataset(n=3, size=(32, 32))

@@ -49,7 +49,10 @@ def _nhwc(t: torch.Tensor) -> np.ndarray:
     return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
 
 
-@pytest.mark.parametrize("h,w", [(32, 32), (48, 64)])
+@pytest.mark.parametrize("h,w", [
+    (32, 32),
+    pytest.param(48, 64, marks=pytest.mark.slow),  # second shape regime
+])
 def test_fusion_network_vs_reference(refcore, tmp_path, h, w):
     _, mf, _ = refcore
     ref = mf.Fusion_Network3_ac().eval()
@@ -96,7 +99,10 @@ def test_fusion_network_average_vs_reference(refcore, tmp_path):
     np.testing.assert_allclose(np.asarray(got), expect, atol=3e-5)
 
 
-@pytest.mark.parametrize("h,w", [(64, 64), (32, 64)])
+@pytest.mark.parametrize("h,w", [
+    pytest.param(64, 64, marks=pytest.mark.slow),  # second shape regime
+    (32, 64),
+])
 def test_seg_network_vs_reference(refcore, tmp_path, h, w):
     """Full Network3 forward (x255 + ImageNet normalize + WeTr) vs
     SegmentationNetwork with a converted checkpoint."""
@@ -141,6 +147,8 @@ def test_forward_fusion_taps_vs_reference(refcore, tmp_path):
     np.testing.assert_allclose(np.asarray(g1), _nhwc(t1), atol=1e-4)
 
 
+@pytest.mark.slow  # mit_b1 full-chain golden: ~40 s CPU (component
+# goldens above are the fast witnesses)
 def test_joint_pipeline_vs_reference_chain(refcore, tmp_path, monkeypatch):
     """The full test_fusion.py:100-111 inference chain: guide taps -> fusion
     -> cat(Y, CrCb) -> YCrCb2RGB -> clip, vs JointPipeline.fuse with both
@@ -189,6 +197,7 @@ def test_joint_pipeline_vs_reference_chain(refcore, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(got_rgb), expect, atol=3e-4)
 
 
+@pytest.mark.slow  # FCOS golden vs real torch GenTargets: ~33 s CPU
 def test_gen_targets_vs_reference():
     """FCOS target assignment (gen_targets) vs the actual GenTargets module
     (/root/reference/core/loss.py:38-165) on random boxes."""

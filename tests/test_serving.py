@@ -35,6 +35,7 @@ def test_serving_fn_matches_apply(tiny_pipeline):
     assert pred.dtype == jnp.int32
 
 
+@pytest.mark.slow  # extra guide-taps compile: ~40 s
 def test_serving_fn_baked_guide_taps(tiny_pipeline):
     model, variables, ir, vis = tiny_pipeline
     guide = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3))
@@ -50,6 +51,7 @@ def test_serving_fn_baked_guide_taps(tiny_pipeline):
     assert not np.allclose(np.asarray(fused_rgb), np.asarray(vis_rgb))
 
 
+@pytest.mark.slow  # export lowering: ~35 s
 def test_export_roundtrip(tmp_path, tiny_pipeline):
     model, variables, ir, vis = tiny_pipeline
     data = serving.export_serving_artifact(model, variables, 1, 32, 32)
@@ -131,6 +133,7 @@ def test_multiplatform_export_with_pallas_capable_shapes(tmp_path):
     assert fused_rgb.shape == (1, h, w, 3) and pred.shape == (1, h, w)
 
 
+@pytest.mark.slow  # calibrate+quantize compiles
 def test_serving_fn_int8_calibration(tiny_pipeline):
     """int8_calibration quantizes the DRDB path: the serving closure still
     produces a fused image close to the f32 one (quantization-noise bound)
