@@ -71,13 +71,16 @@ def _make_kernel(rows: int, wp: int, c: int, g: int, out_dtype):
         r = idx // wp
         return ((r >= lo) & (r < hi)).astype(jnp.float32)
 
-    def src9(x_padW_i8, cin):
-        """[rows, wp+2, cin] int8 -> [rows*wp, 9*cin] int8 (dy-major, dx,
+    def src9(x_i8, cin):
+        """[rows, wp, cin] int8 -> [rows*wp, 9*cin] int8 (dy-major, dx,
         cin). Leading-dim (rows) shifts are free addressing; the dx shifts
-        are two sublane-offset copies."""
-        s3 = jnp.concatenate([x_padW_i8[:, 0:wp],
-                              x_padW_i8[:, 1:wp + 1],
-                              x_padW_i8[:, 2:wp + 2]], axis=-1)
+        are slice+zero-pad pairs (an UNALIGNED 322-sublane buffer crashes
+        the remote Mosaic compiler — e24b/e24c bisect; slice+pad at the
+        aligned wp compiles and is the same bytes moved). Zero fill at the
+        w edges IS the reference's conv zero padding in phase space."""
+        left = jnp.pad(x_i8[:, 1:], ((0, 0), (0, 1), (0, 0)))   # x(w+1)
+        right = jnp.pad(x_i8[:, :wp - 1], ((0, 0), (1, 0), (0, 0)))
+        s3 = jnp.concatenate([right, x_i8, left], axis=-1)
         z = jnp.zeros((1, wp, 3 * cin), jnp.int8)
         up = jnp.concatenate([z, s3[:-1]], axis=0)    # row r holds src[r-1]
         dn = jnp.concatenate([s3[1:], z], axis=0)     # row r holds src[r+1]
@@ -105,33 +108,29 @@ def _make_kernel(rows: int, wp: int, c: int, g: int, out_dtype):
             q = jnp.round(t * invs[:, i:i + 1])
             return jnp.clip(q, -127, 127).astype(jnp.int8)
 
-        xq = xq_ref[0]                                 # [rows, wp+2, c] i8
+        xq = xq_ref[0]                                 # [rows, wp, c] i8
         # conv 1: contributions of x to ALL five pre-activations
         acc = idot(src9(xq, c), w0).astype(jnp.float32) * sv0[...]
         pre = acc + bias                               # [npix, 5g] f32
         r1 = requant(pre[:, 0:g], 1)
-        y = idot(src9(jnp.pad(r1.reshape(rows, wp, g),
-                              ((0, 0), (1, 1), (0, 0))), g),
+        y = idot(src9(r1.reshape(rows, wp, g), g),
                  w1).astype(jnp.float32) * sv1[...]    # [npix, 4g]
         r2 = requant(pre[:, g:2 * g] + y[:, 0:g], 2)
         pre2 = pre[:, 2 * g:] + y[:, g:]               # [npix, 3g]
-        y = idot(src9(jnp.pad(r2.reshape(rows, wp, g),
-                              ((0, 0), (1, 1), (0, 0))), g),
+        y = idot(src9(r2.reshape(rows, wp, g), g),
                  w2).astype(jnp.float32) * sv2[...]    # [npix, 3g]
         r3 = requant(pre2[:, 0:g] + y[:, 0:g], 3)
         pre3 = pre2[:, g:] + y[:, g:]                  # [npix, 2g]
-        y = idot(src9(jnp.pad(r3.reshape(rows, wp, g),
-                              ((0, 0), (1, 1), (0, 0))), g),
+        y = idot(src9(r3.reshape(rows, wp, g), g),
                  w3).astype(jnp.float32) * sv3[...]    # [npix, 2g]
         r4 = requant(pre3[:, 0:g] + y[:, 0:g], 4)
         pre4 = pre3[:, g:] + y[:, g:]                  # [npix, g]
-        y = idot(src9(jnp.pad(r4.reshape(rows, wp, g),
-                              ((0, 0), (1, 1), (0, 0))), g),
+        y = idot(src9(r4.reshape(rows, wp, g), g),
                  w4).astype(jnp.float32) * sv4[...]    # [npix, g]
         r5 = requant(pre4 + y, 5)
 
-        # bottleneck: scale-folded int8 1x1 over [xq_center, r1..r5]
-        xc = xq[:, 1:wp + 1].reshape(npix, c)
+        # bottleneck: scale-folded int8 1x1 over [xq, r1..r5]
+        xc = xq.reshape(npix, c)
         feat = jnp.concatenate([xc, r1, r2, r3, r4, r5], axis=-1)
         accb = jax.lax.dot_general(
             feat, wb[...], (((1,), (0,)), ((), ())),
@@ -164,7 +163,6 @@ def drdb_strips_int8_pallas(xs: jnp.ndarray, w: Dict, m: jnp.ndarray,
     sx = s_in[0]
     xq = jnp.clip(jnp.round(xs.astype(jnp.float32) / sx), -127, 127
                   ).astype(jnp.int8)
-    xq = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (0, 0)))
 
     # weights: grouped src9 int8 + per-column f32 scales (sw * s_src)
     grouped = _grouped_w9_int8(w, c, g)
@@ -203,7 +201,7 @@ def drdb_strips_int8_pallas(xs: jnp.ndarray, w: Dict, m: jnp.ndarray,
         _make_kernel(rows, wp, c, g, xs.dtype),
         grid=(S,),
         in_specs=[smem, smem,
-                  pl.BlockSpec((1, rows, wp + 2, c), lambda p: (p, 0, 0, 0),
+                  pl.BlockSpec((1, rows, wp, c), lambda p: (p, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, rows, wp, c), lambda p: (p, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
