@@ -78,8 +78,13 @@ def _make_kernel(rows: int, wp: int, c: int, g: int, out_dtype):
         the remote Mosaic compiler — e24b/e24c bisect; slice+pad at the
         aligned wp compiles and is the same bytes moved). Zero fill at the
         w edges IS the reference's conv zero padding in phase space."""
-        left = jnp.pad(x_i8[:, 1:], ((0, 0), (0, 1), (0, 0)))   # x(w+1)
-        right = jnp.pad(x_i8[:, :wp - 1], ((0, 0), (1, 0), (0, 0)))
+        # each shifted view is built by a concat ALONG THE SHIFT AXIS so
+        # its result layout is offset-normalized — mixing sublane-offset
+        # views in the lane concat below crashes Mosaic ("result/input
+        # offset mismatch on non-concat dimension", e24 bisect)
+        zw = jnp.zeros((rows, 1, cin), jnp.int8)
+        left = jnp.concatenate([x_i8[:, 1:], zw], axis=1)       # x(w+1)
+        right = jnp.concatenate([zw, x_i8[:, :wp - 1]], axis=1)  # x(w-1)
         s3 = jnp.concatenate([right, x_i8, left], axis=-1)
         z = jnp.zeros((1, wp, 3 * cin), jnp.int8)
         up = jnp.concatenate([z, s3[:-1]], axis=0)    # row r holds src[r-1]
@@ -94,7 +99,7 @@ def _make_kernel(rows: int, wp: int, c: int, g: int, out_dtype):
 
     def kernel(lo_ref, hi_ref, xq_ref, xbf_ref, w0, w1, w2, w3, w4, wb,
                sv0, sv1, sv2, sv3, sv4, svb, bias_ref, invs_ref, bb_ref,
-               o_ref):
+               o_ref, r1s, r2s, r3s, r4s, r5s):
         p = pl.program_id(0)
         lo = lo_ref[p]
         hi = hi_ref[p]
@@ -102,36 +107,43 @@ def _make_kernel(rows: int, wp: int, c: int, g: int, out_dtype):
         bias = bias_ref[...]                           # [1, 5g] f32
         invs = invs_ref[...]                           # [1, 8] f32
 
-        def requant(pre, i):
-            """relu + row mask + int8 clip at scale s_i (invs[:, i:i+1])."""
-            t = jax.nn.relu(pre) * m
+        def requant(pre_act, i, scr):
+            """relu + row mask + int8 clip at scale s_i, NORMALIZED through
+            a VMEM scratch round-trip: pre_act descends from lane-offset
+            slices of the wide `pre` buffer, and Mosaic's lazy offset
+            layouts crash any downstream concat mixing offsets ("result/
+            input offset mismatch on non-concat dimension" — e24d bisect:
+            the shift concats are fine in isolation; the offsets arrive
+            with r_i). A full-ref store/load yields the canonical layout.
+            Returns the [rows, wp, g] view."""
+            t = jax.nn.relu(pre_act) * m
             q = jnp.round(t * invs[:, i:i + 1])
-            return jnp.clip(q, -127, 127).astype(jnp.int8)
+            scr[...] = jnp.clip(q, -127, 127).astype(jnp.int8
+                                                     ).reshape(rows, wp, g)
+            return scr[...]
 
         xq = xq_ref[0]                                 # [rows, wp, c] i8
         # conv 1: contributions of x to ALL five pre-activations
         acc = idot(src9(xq, c), w0).astype(jnp.float32) * sv0[...]
         pre = acc + bias                               # [npix, 5g] f32
-        r1 = requant(pre[:, 0:g], 1)
-        y = idot(src9(r1.reshape(rows, wp, g), g),
-                 w1).astype(jnp.float32) * sv1[...]    # [npix, 4g]
-        r2 = requant(pre[:, g:2 * g] + y[:, 0:g], 2)
+        r1 = requant(pre[:, 0:g], 1, r1s)
+        y = idot(src9(r1, g), w1).astype(jnp.float32) * sv1[...]  # [npix,4g]
+        r2 = requant(pre[:, g:2 * g] + y[:, 0:g], 2, r2s)
         pre2 = pre[:, 2 * g:] + y[:, g:]               # [npix, 3g]
-        y = idot(src9(r2.reshape(rows, wp, g), g),
-                 w2).astype(jnp.float32) * sv2[...]    # [npix, 3g]
-        r3 = requant(pre2[:, 0:g] + y[:, 0:g], 3)
+        y = idot(src9(r2, g), w2).astype(jnp.float32) * sv2[...]  # [npix,3g]
+        r3 = requant(pre2[:, 0:g] + y[:, 0:g], 3, r3s)
         pre3 = pre2[:, g:] + y[:, g:]                  # [npix, 2g]
-        y = idot(src9(r3.reshape(rows, wp, g), g),
-                 w3).astype(jnp.float32) * sv3[...]    # [npix, 2g]
-        r4 = requant(pre3[:, 0:g] + y[:, 0:g], 4)
+        y = idot(src9(r3, g), w3).astype(jnp.float32) * sv3[...]  # [npix,2g]
+        r4 = requant(pre3[:, 0:g] + y[:, 0:g], 4, r4s)
         pre4 = pre3[:, g:] + y[:, g:]                  # [npix, g]
-        y = idot(src9(r4.reshape(rows, wp, g), g),
-                 w4).astype(jnp.float32) * sv4[...]    # [npix, g]
-        r5 = requant(pre4 + y, 5)
+        y = idot(src9(r4, g), w4).astype(jnp.float32) * sv4[...]  # [npix, g]
+        r5 = requant(pre4 + y, 5, r5s)
 
         # bottleneck: scale-folded int8 1x1 over [xq, r1..r5]
         xc = xq.reshape(npix, c)
-        feat = jnp.concatenate([xc, r1, r2, r3, r4, r5], axis=-1)
+        feat = jnp.concatenate(
+            [xc] + [r.reshape(npix, g) for r in (r1, r2, r3, r4, r5)],
+            axis=-1)
         accb = jax.lax.dot_general(
             feat, wb[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -210,7 +222,9 @@ def drdb_strips_int8_pallas(xs: jnp.ndarray, w: Dict, m: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, rows, wp, c), xs.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        scratch_shapes=[pltpu.VMEM((rows, wp, g), jnp.int8)
+                        for _ in range(5)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * S * rows * wp * (c * 5 * g + g * g * 10)
             + 2 * S * rows * wp * (c + 5 * g) * c,

@@ -113,12 +113,12 @@ def test_simple_fusion_network():
 
 def test_segmentation_network_logits():
     m = SegmentationNetwork(backbone="mit_b0", num_classes=9)
-    x = jnp.full((1, 64, 64, 3), 0.5)
+    x = jnp.full((1, 32, 32, 3), 0.5)
     variables = m.init(KEY, x)
     logits = m.apply(variables, x)
-    assert logits.shape == (1, 16, 16, 9)
-    up = m.apply(variables, x, (64, 64), method=m.logits_at)
-    assert up.shape == (1, 64, 64, 9)
+    assert logits.shape == (1, 8, 8, 9)
+    up = m.apply(variables, x, (32, 32), method=m.logits_at)
+    assert up.shape == (1, 32, 32, 9)
 
 
 def test_joint_pipeline_single_graph():
@@ -149,6 +149,19 @@ def test_joint_pipeline_single_graph():
     served = m.apply(variables, ir, vis, taps=raw)
     for a, b in zip(direct, served):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+@pytest.mark.slow  # two extra full-pipeline compiles; low-res-vs-full-res
+# tap equivalence also covered by
+# test_fusion_network_lowres_taps_match_fullres
+def test_joint_pipeline_fullres_taps_match():
+    m = JointPipeline(backbone="mit_b0", num_classes=9)
+    ir = jnp.full((1, 32, 32, 1), 0.6)
+    vis = jnp.full((1, 32, 32, 3), 0.4)
+    variables = m.init(KEY, ir, vis)
+    guide = jnp.full((1, 32, 32, 3), 0.7)
+    raw = m.apply(variables, guide, method=JointPipeline.guide_taps_raw)
+    direct = m.apply(variables, ir, vis, guide)
     full = m.apply(variables, guide, method=JointPipeline.guide_taps)
     assert full[0].shape[1] == 32 and raw[0].shape[1] == 8
     served_full = m.apply(variables, ir, vis, taps=full)
