@@ -91,22 +91,29 @@ def run_overfit() -> dict:
     }
 
 
-def _drift_pair(pair_a, pair_b, ir, vis):
-    """fused-Y SSIM / maxdiff / argmax agreement between two (model,
-    variables) pipelines on the same inputs."""
+def _run_pipeline(pair, ir, vis):
+    """One (model, variables) pipeline -> (fused_y f32 np, argmax np)."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model, variables = pair
+    fused_rgb, fused_y, logits = jax.jit(
+        lambda v, a, c, m=model: m.apply(v, a, c))(variables, ir, vis)
+    return (np.asarray(fused_y, dtype=np.float32),
+            np.asarray(jnp.argmax(logits, -1)))
+
+
+def _drift_pair(out_a, out_b):
+    """fused-Y SSIM / maxdiff / argmax agreement between two pipeline
+    outputs from _run_pipeline (each model is run/compiled ONCE even when
+    it appears in several comparison pairs)."""
     import jax.numpy as jnp
     import numpy as np
 
     from segmif_tpu.ops.ssim import ssim
 
-    outs = []
-    for model, variables in (pair_a, pair_b):
-        fused_rgb, fused_y, logits = jax.jit(
-            lambda v, a, c, m=model: m.apply(v, a, c))(variables, ir, vis)
-        outs.append((np.asarray(fused_y, dtype=np.float32),
-                     np.asarray(jnp.argmax(logits, -1))))
-    (ya, pa), (yb, pb) = outs
+    (ya, pa), (yb, pb) = out_a, out_b
     return {
         "fused_y_ssim": round(float(ssim(jnp.asarray(yb), jnp.asarray(ya))),
                               5),
@@ -155,16 +162,16 @@ def run_drift(with_int8: bool) -> dict:
 
     f32 = JointPipeline("mit_b1", num_classes=9, dtype=jnp.float32)
     bf16 = JointPipeline("mit_b1", num_classes=9, dtype=jnp.bfloat16)
-    out = {"bf16_vs_f32": _drift_pair((f32, variables), (bf16, variables),
-                                      ir, vis)}
+    out_f32 = _run_pipeline((f32, variables), ir, vis)
+    out_bf16 = _run_pipeline((bf16, variables), ir, vis)
+    out = {"bf16_vs_f32": _drift_pair(out_f32, out_bf16)}
     if with_int8:
         from segmif_tpu.serving import quantize_for_serving
 
         model_q, vars_q = quantize_for_serving(bf16, variables, (ir, vis))
-        out["int8_vs_f32"] = _drift_pair((f32, variables), (model_q, vars_q),
-                                         ir, vis)
-        out["int8_vs_bf16"] = _drift_pair((bf16, variables),
-                                          (model_q, vars_q), ir, vis)
+        out_q = _run_pipeline((model_q, vars_q), ir, vis)
+        out["int8_vs_f32"] = _drift_pair(out_f32, out_q)
+        out["int8_vs_bf16"] = _drift_pair(out_bf16, out_q)
     return out
 
 
