@@ -147,7 +147,10 @@ def main():
 
     backbone = args.backbone or ("mit_b3" if on_tpu else "mit_b0")
     model = JointPipeline(backbone, num_classes=9, dtype=jnp.bfloat16,
-                          remat=args.train)
+                          remat=args.train,
+                          # fusion-only remat: the frozen-seg branch keeps
+                          # its activations (e21 round 4: 702.5 vs 722.7 ms)
+                          remat_seg=False)
     rng = jax.random.PRNGKey(0)
     ir = jax.random.uniform(rng, (batch, h, w, 1), jnp.float32)
     vis = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)

@@ -105,6 +105,11 @@ class TrainConfig:
     remat: bool = False   # rematerialize encoder blocks + fusion DRDB/FFM in
                           # the train steps (recompute-for-HBM; needed for
                           # full-res large-batch training, see OPTIMIZATION.md)
+    remat_seg: bool = False  # remat the FROZEN seg branch too when remat is
+                          # on. e21 (round 4): fusion-only remat is 3% faster
+                          # (702.5 vs 722.7 ms) and fits b8 480x640 mit_b3
+                          # on one v5e chip, so keeping seg activations is
+                          # the measured default
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     fusion: FusionPhaseConfig = dataclasses.field(default_factory=FusionPhaseConfig)
     seg: SegPhaseConfig = dataclasses.field(default_factory=SegPhaseConfig)

@@ -12,6 +12,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _select_class(logp: jnp.ndarray, safe_labels: jnp.ndarray) -> jnp.ndarray:
+    """logp[..., labels] as a one-hot contraction, NOT take_along_axis: the
+    gather/scatter pair take_along_axis lowers to runs VMEM-read-bound on
+    TPU (36 ms/step in the e21 train profile at [8,480,640,9]); the
+    iota-compare one-hot fuses fully into the surrounding elementwise ops,
+    and its transpose (the backward scatter) becomes an elementwise select
+    too."""
+    classes = jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+    onehot = (classes == safe_labels[..., None]).astype(logp.dtype)
+    return jnp.sum(logp * onehot, axis=-1)
+
+
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                   ignore_index: int = 255) -> jnp.ndarray:
     """logits: [B, H, W, C] (any leading dims); labels: [B, H, W] int.
@@ -19,7 +31,7 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, safe_labels)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count
@@ -33,7 +45,7 @@ def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, safe_labels)
     nll = jnp.where(valid, nll, -jnp.inf).reshape(-1)
     n_min = max(int(nll.shape[0] * min_kept_fraction), 1)
     loss_thresh = -jnp.log(jnp.asarray(thresh))
@@ -50,7 +62,7 @@ def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    logpt = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    logpt = _select_class(logp, safe_labels)
     pt = jnp.exp(logpt)
     loss = -alpha * (1.0 - pt) ** gamma * logpt
     loss = jnp.where(valid, loss, 0.0)

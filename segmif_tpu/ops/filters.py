@@ -45,10 +45,40 @@ def depthwise_conv2d(x: jnp.ndarray, kernel2d: jnp.ndarray, padding) -> jnp.ndar
     )
 
 
+def _toeplitz_1d(n: int, win, dtype) -> jnp.ndarray:
+    """[n, n] banded matrix of the zero-padded 1-D correlation with `win`
+    (odd length): out[i] = sum_j T[i, j] x[j]."""
+    win = jnp.asarray(win, jnp.float32)
+    pad = win.shape[0] // 2
+    i = jnp.arange(n)
+    d = i[None, :] - i[:, None]
+    return jnp.where(jnp.abs(d) <= pad,
+                     win[jnp.clip(d + pad, 0, 2 * pad)], 0.0).astype(dtype)
+
+
+def separable_filter(x: jnp.ndarray, win_h, win_w) -> jnp.ndarray:
+    """Separable fixed filter for NHWC x (zero padding), as two
+    banded-Toeplitz MXU matmuls instead of a depthwise conv: the losses
+    apply these to 1-channel Y planes, where a depthwise conv uses 1/128
+    of the TPU's lanes (e21 profile: 9-50 GF/s, the single biggest
+    train-step category before this rewrite)."""
+    th = _toeplitz_1d(x.shape[1], win_h, x.dtype)
+    tw = _toeplitz_1d(x.shape[2], win_w, x.dtype)
+    x = jnp.einsum("bhwc,hk->bkwc", x, th,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bhwc,wk->bhkc", x, tw,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def sobel_magnitude(x: jnp.ndarray) -> jnp.ndarray:
-    """|sobel_x(x)| + |sobel_y(x)| for NHWC x (any channel count, depthwise)."""
-    gx = depthwise_conv2d(x, _SOBEL_X, [(1, 1), (1, 1)])
-    gy = depthwise_conv2d(x, _SOBEL_Y, [(1, 1), (1, 1)])
+    """|sobel_x(x)| + |sobel_y(x)| for NHWC x (any channel count).
+
+    Sobel is separable: Gx = [1,2,1]^T (x) [-1,0,1], Gy = [1,2,1] along W
+    with [-1,0,1] along H (sign per _SOBEL_Y's top-positive convention).
+    NOTE conv vs correlation: torch's F.conv2d is a CORRELATION with the
+    kernel as written (loss.py:634-650), which these windows reproduce."""
+    gx = separable_filter(x, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+    gy = separable_filter(x, (1.0, 0.0, -1.0), (1.0, 2.0, 1.0))
     return jnp.abs(gx) + jnp.abs(gy)
 
 
@@ -71,10 +101,15 @@ def gaussian_kernel_2d_grid(size: int, sigma: float) -> jnp.ndarray:
 
 
 def gaussian_blur(x: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
-    """Depthwise Gaussian blur with zero padding size//2 (NHWC)."""
-    k = gaussian_kernel_2d_grid(size, sigma)
-    p = size // 2
-    return depthwise_conv2d(x, k, [(p, p), (p, p)])
+    """Gaussian blur with zero padding size//2 (NHWC). The grid kernel of
+    gaussian_kernel_2d_grid is exactly separable (exp(-(a^2+b^2)) =
+    exp(-a^2)exp(-b^2), and the 2-D normalizer is the product of the 1-D
+    ones), so this runs as two Toeplitz matmuls."""
+    coords = jnp.arange(size, dtype=jnp.float32)
+    mean = (size - 1) / 2.0
+    g1 = jnp.exp(-((coords - mean) ** 2) / (2.0 * sigma**2))
+    g1 = g1 / jnp.sum(g1)
+    return separable_filter(x, g1, g1)
 
 
 def unsharp_pyramid(x: jnp.ndarray, sizes=(3, 5, 7), sigma: float = 2.0):

@@ -3,11 +3,18 @@
 Matches the reference's pytorch_ssim (/root/reference/pytorch_ssim/__init__.py):
 11x11 separable Gaussian window sigma=1.5 (normalized), zero padding
 window//2, C1=0.01^2, C2=0.03^2, biased (population) variance estimates.
-The Gaussian window is separable, so we run two 1-D depthwise convs instead
-of one 2-D conv — fewer FLOPs and a layout XLA tiles well on TPU.
+
+The separable blur is computed as two banded-Toeplitz MATMULS (one [H,H],
+one [W,W]) instead of depthwise convs: SSIM runs on 1-channel fused-Y
+planes, and a channels=1 depthwise conv uses 1/128 of the TPU's lanes —
+the e21 train profile measured those convs at 9-50 GF/s, ~143 ms/step of
+the fusion train step. The Toeplitz contraction runs on the MXU with full
+lanes; its transpose (the SSIM backward) is the same matmul with T^T.
 
 Note: zero padding + normalized window means border statistics are damped
-exactly as in the reference (the window is NOT renormalized at borders).
+exactly as in the reference (the window is NOT renormalized at borders) —
+the Toeplitz rows near the border simply truncate, which is the same
+math.
 """
 from __future__ import annotations
 
@@ -19,18 +26,26 @@ import jax.numpy as jnp
 from .filters import gaussian_kernel_1d
 
 
+def _toeplitz(n: int, win: jnp.ndarray, pad: int, dtype) -> jnp.ndarray:
+    """[n, n] banded matrix T with T[i, j] = win[j - i + pad] for
+    |j - i| <= pad, else 0 — out[i] = sum_j T[i, j] x[j] is exactly the
+    zero-padded 1-D correlation the depthwise conv computed."""
+    i = jnp.arange(n)
+    d = i[None, :] - i[:, None]
+    return jnp.where(jnp.abs(d) <= pad,
+                     win[jnp.clip(d + pad, 0, 2 * pad)], 0.0).astype(dtype)
+
+
 def _blur(x: jnp.ndarray, win: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Separable depthwise Gaussian filter for NHWC x, zero-padded."""
-    c = x.shape[-1]
-    kh = jnp.tile(win[:, None, None, None], (1, 1, 1, c)).astype(x.dtype)
-    kw = jnp.tile(win[None, :, None, None], (1, 1, 1, c)).astype(x.dtype)
-    dn = ("NHWC", "HWIO", "NHWC")
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+    """Separable Gaussian filter for NHWC x, zero-padded, as two MXU
+    matmuls over the H and W axes."""
+    h, w = x.shape[1], x.shape[2]
+    th = _toeplitz(h, win, pad, x.dtype)
+    tw = _toeplitz(w, win, pad, x.dtype)
+    x = jnp.einsum("bhwc,hk->bkwc", x, th,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bhwc,wk->bhkc", x, tw,
+                   precision=jax.lax.Precision.HIGHEST)
     return x
 
 

@@ -133,7 +133,8 @@ class InteractiveTrainer:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = JointPipeline(cfg.backbone, cfg.data.num_classes,
                                    cfg.embedding_dim, dtype=dtype,
-                                   remat=cfg.remat)
+                                   remat=cfg.remat,
+                                   remat_seg=cfg.remat and cfg.remat_seg)
         if cfg.streaming:
             from .streaming import StreamingFusionData
 
