@@ -78,6 +78,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--only", default="",
+                    help="substring filter on config labels (skip the "
+                         "remote-compiler-crashing no-remat configs on "
+                         "reruns)")
     args = ap.parse_args()
     b, h, w = 8, 480, 640
 
@@ -87,6 +91,8 @@ def main():
             ("remat fusion-only", True, False),
             ("remat seg-only", False, True),
             ("no remat", False, False)):
+        if args.only and args.only not in label:
+            continue
         try:
             run, many, margs = build(remat, remat_seg, b, h, w, args.iters)
             t = timed(run, args.iters)
@@ -146,6 +152,14 @@ def main():
             short = re.sub(r"jit\(train_many\)/", "", name)
             print(f"  {t_us/d/1000:7.3f} [{str(cat)[:14]:14s}] "
                   f"bound={str(bound):8s} {gfs:8.0f}GF/s {short[:100]}")
+        print("\n== top 30 NON-conv ops (ms/step) ==")
+        nonconv = [p for p in parsed
+                   if "convolution" not in str(p[1]) and "custom" not in
+                   str(p[1])]
+        for t_us, cat, name, bound, gfs in nonconv[:30]:
+            short = re.sub(r"jit\(train_many\)/", "", name)
+            print(f"  {t_us/d/1000:7.3f} [{str(cat)[:14]:14s}] "
+                  f"bound={str(bound):8s} {gfs:8.0f}GF/s {short[:110]}")
 
 
 if __name__ == "__main__":
