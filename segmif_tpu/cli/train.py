@@ -41,6 +41,10 @@ def main(argv=None):
                    help="don't stack splits into host RAM (decode per batch;"
                         " fused images in a disk memmap) — for datasets "
                         "larger than FMB/MFNet scale")
+    p.add_argument("--fusion_chunk", type=int, default=None,
+                   help="fusion-phase iters per device dispatch (>1 scans "
+                        "augment+step in one compiled call; identical math, "
+                        "amortizes dispatch latency)")
     p.add_argument("--compute_dtype", default=None,
                    choices=("bfloat16", "float32"),
                    help="activation dtype; default bfloat16 on TPU, float32 "
@@ -78,6 +82,8 @@ def main(argv=None):
         cfg.seg.iters = args.seg_iters
     if args.crop_size:
         cfg.fusion.crop_size = args.crop_size
+    if args.fusion_chunk:
+        cfg.fusion.train_chunk = args.fusion_chunk
         cfg.data.crop_size = args.crop_size
     if args.remat:
         cfg.remat = True

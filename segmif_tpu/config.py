@@ -63,6 +63,14 @@ class FusionPhaseConfig:
     dwa_warmup_steps: int = 10
     fusion_scale_base: float = 0.4     # scaled by 1/round
     seg_scale: float = 0.8
+    train_chunk: int = 1               # iters per device dispatch: >1 runs
+                                       # augment+step for K iters in ONE
+                                       # compiled lax.scan — identical math
+                                       # (same per-iter rng folds), amortizes
+                                       # host->device dispatch latency (the
+                                       # per-step Python loop pays ~1.5 s/step
+                                       # through a remote-TPU tunnel vs 87 ms
+                                       # of actual compute, round-4 notes)
     ssim_weight: float = 1.1
     checkpoint_every: int = 500
     warmup_iter: int = 0               # reference's warmup is effectively off

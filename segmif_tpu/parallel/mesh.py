@@ -106,6 +106,23 @@ def put_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(put, batch)
 
 
+def put_batch_chunk(mesh: Mesh, raws: Any) -> Any:
+    """Device_put a STACKED chunk of raw batches ([K, B, ...] leaves) with
+    the batch axis (axis 1) sharded over 'data' — the chunked train loop's
+    staging transfer (one host->device copy per K iterations)."""
+    nd = mesh.shape[DATA_AXIS]
+    rep = replicated(mesh)
+
+    def put(x):
+        if x.ndim >= 2 and x.shape[1] % nd == 0:
+            spec = [None] * x.ndim
+            spec[1] = DATA_AXIS
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, raws)
+
+
 def put_replicated(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

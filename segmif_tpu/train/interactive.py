@@ -40,13 +40,15 @@ from ..data.augment import AugConfig, augment_batch
 from ..data.pipeline import Prefetcher
 from ..eval.evaluator import generate_fused, segmentation_eval
 from ..models.network import JointPipeline
-from ..parallel.mesh import make_mesh, put_batch, put_replicated
+from ..parallel.mesh import (make_mesh, put_batch, put_batch_chunk,
+                             put_replicated)
 from ..utils.logging import eta, setup_logger
 from . import checkpoint as ckpt
 from .optimizer import adamw_poly, adamw_poly_grouped
 from .state import FusionTrainState, SegTrainState
 from .steps import (
     make_fuse_fn,
+    make_fusion_train_chunk,
     make_fusion_train_step,
     make_seg_train_step,
     make_segment_fn,
@@ -216,27 +218,72 @@ class InteractiveTrainer:
         base_rng = jax.random.PRNGKey(cfg.seed * 7 + round_idx)
         t0 = datetime.datetime.now()
         metrics = {}
-        for n_iter in range(start_iter, iters):
-            k = jax.random.fold_in(base_rng, n_iter)
-            raw = next(it)
-            batch = augment_batch(k, jnp.asarray(raw["ir"]),
-                                  jnp.asarray(raw["vis"]),
-                                  jnp.asarray(raw["guide"]),
-                                  jnp.asarray(raw["label"]), aug,
-                                  cfg.data.num_classes)
-            batch = put_batch(self.mesh, batch)
-            state, metrics = step_fn(state, seg_vars, batch, fusion_scale)
-            if (n_iter + 1) % cfg.log_iters == 0:
-                el, rem = eta(t0, n_iter + 1, iters)
-                loss = float(metrics["loss"])
-                self.fusion_loss_history.append((round_idx, n_iter + 1, loss))
-                self.log.info(
-                    "[round %d fusion] iter %d/%d loss %.4f elapsed %s eta %s",
-                    round_idx, n_iter + 1, iters, loss, el, rem)
-            if (n_iter + 1) % fp.checkpoint_every == 0:
-                self.params = dict(self.params, fusion=state.params)
-                self.save_checkpoint("fusion")
-                self._save_phase("fusion", round_idx, state)
+        chunk = max(1, fp.train_chunk)
+        if chunk > 1:
+            # chunked dispatch: K (augment + step) iterations per compiled
+            # call (train/steps.py::make_fusion_train_chunk) — same per-iter
+            # rng folds and step math as the loop below, one host round-trip
+            # per K iters. Checkpoints land on chunk boundaries (resume is
+            # state.step-based, so any boundary is a valid resume point).
+            chunk_fn = jax.jit(make_fusion_train_chunk(
+                self.model, tx, round1=(round_idx == 1), aug_cfg=aug,
+                num_classes=cfg.data.num_classes,
+                ignore_index=cfg.data.ignore_index, seg_scale=fp.seg_scale,
+                dwa_temperature=fp.dwa_temperature,
+                dwa_warmup_steps=fp.dwa_warmup_steps),
+                donate_argnums=(0,))
+            n_iter = start_iter
+            last_ckpt = start_iter
+            while n_iter < iters:
+                k_sz = min(chunk, iters - n_iter)
+                raws = [next(it) for _ in range(k_sz)]
+                stacked = {f: np.stack([np.asarray(r[f]) for r in raws])
+                           for f in ("ir", "vis", "guide", "label")}
+                stacked = put_batch_chunk(self.mesh, stacked)
+                state, losses = chunk_fn(state, seg_vars, stacked, base_rng,
+                                         jnp.int32(n_iter), fusion_scale)
+                losses = np.asarray(losses, np.float32)
+                metrics = {"loss": losses[-1]}
+                for j in range(n_iter, n_iter + k_sz):
+                    if (j + 1) % cfg.log_iters == 0:
+                        el, rem = eta(t0, j + 1, iters)
+                        loss = float(losses[j - n_iter])
+                        self.fusion_loss_history.append(
+                            (round_idx, j + 1, loss))
+                        self.log.info(
+                            "[round %d fusion] iter %d/%d loss %.4f "
+                            "elapsed %s eta %s",
+                            round_idx, j + 1, iters, loss, el, rem)
+                n_iter += k_sz
+                if n_iter - last_ckpt >= fp.checkpoint_every:
+                    self.params = dict(self.params, fusion=state.params)
+                    self.save_checkpoint("fusion")
+                    self._save_phase("fusion", round_idx, state)
+                    last_ckpt = n_iter
+        else:
+            for n_iter in range(start_iter, iters):
+                k = jax.random.fold_in(base_rng, n_iter)
+                raw = next(it)
+                batch = augment_batch(k, jnp.asarray(raw["ir"]),
+                                      jnp.asarray(raw["vis"]),
+                                      jnp.asarray(raw["guide"]),
+                                      jnp.asarray(raw["label"]), aug,
+                                      cfg.data.num_classes)
+                batch = put_batch(self.mesh, batch)
+                state, metrics = step_fn(state, seg_vars, batch, fusion_scale)
+                if (n_iter + 1) % cfg.log_iters == 0:
+                    el, rem = eta(t0, n_iter + 1, iters)
+                    loss = float(metrics["loss"])
+                    self.fusion_loss_history.append(
+                        (round_idx, n_iter + 1, loss))
+                    self.log.info(
+                        "[round %d fusion] iter %d/%d loss %.4f elapsed %s "
+                        "eta %s",
+                        round_idx, n_iter + 1, iters, loss, el, rem)
+                if (n_iter + 1) % fp.checkpoint_every == 0:
+                    self.params = dict(self.params, fusion=state.params)
+                    self.save_checkpoint("fusion")
+                    self._save_phase("fusion", round_idx, state)
         pf.close()
         self.params = dict(self.params, fusion=state.params)
         self.save_checkpoint("fusion")

@@ -138,6 +138,40 @@ def make_fusion_train_step(joint_model, tx, round1: bool,
     return step
 
 
+def make_fusion_train_chunk(joint_model, tx, round1: bool, aug_cfg,
+                            num_classes: int, **step_kw) -> Callable:
+    """K fusion train iters (augment + step) as ONE compiled lax.scan.
+
+    Returns chunk(state, seg_variables, raws, base_rng, iter0,
+    fusion_scale) -> (state, losses [K]) where raws is a dict of
+    [K, B, ...] RAW (un-augmented) batches. Math is identical to K calls
+    of the per-iter loop: iteration n uses fold_in(base_rng, n) exactly
+    like train_fusion_phase's Python loop, and the same
+    make_fusion_train_step underneath. The win is dispatch amortization:
+    one host->device round-trip per K iters instead of per iter (the
+    reference's loop is one dispatch per torch op; train.py:338-390).
+    """
+    from ..data.augment import augment_batch
+
+    step = make_fusion_train_step(joint_model, tx, round1, **step_kw)
+
+    def chunk(state, seg_variables, raws, base_rng, iter0, fusion_scale):
+        k_sz = next(iter(raws.values())).shape[0]
+
+        def body(st, inp):
+            n, raw = inp
+            key = jax.random.fold_in(base_rng, n)
+            batch = augment_batch(key, raw["ir"], raw["vis"], raw["guide"],
+                                  raw["label"], aug_cfg, num_classes)
+            st, metrics = step(st, seg_variables, batch, fusion_scale)
+            return st, metrics["loss"]
+
+        ns = iter0 + jnp.arange(k_sz, dtype=jnp.int32)
+        return jax.lax.scan(body, state, (ns, raws))
+
+    return chunk
+
+
 def make_fuse_fn(joint_model) -> Callable:
     """Jittable inference: (variables, ir, vis, guide) ->
     (fused_rgb clipped [0,1], fused_y). The test_fusion.py pipeline
