@@ -82,9 +82,9 @@ def main(argv=None):
         cfg.seg.iters = args.seg_iters
     if args.crop_size:
         cfg.fusion.crop_size = args.crop_size
+        cfg.data.crop_size = args.crop_size
     if args.fusion_chunk:
         cfg.fusion.train_chunk = args.fusion_chunk
-        cfg.data.crop_size = args.crop_size
     if args.remat:
         cfg.remat = True
     if args.streaming:

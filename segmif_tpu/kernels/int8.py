@@ -40,6 +40,36 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
+@jax.custom_vjp
+def _serving_only(t: jnp.ndarray) -> jnp.ndarray:
+    """Float identity whose backward pass RAISES.
+
+    The int8 chain's quantize casts have float0 cotangents, so JAX prunes
+    the backward through them entirely — differentiating a quant='int8'
+    model would silently produce zero gradients through the DRDBs (only the
+    f32 residual add would carry grad). A custom_vjp on the int8-dtype
+    quantizer never even gets called; the guard must sit on the FLOAT chain
+    input, which every upstream parameter's gradient has to cross. The bwd
+    body executes while the backward pass is traced, so jax.grad raises
+    immediately."""
+    return t
+
+
+def _so_fwd(t):
+    return t, None
+
+
+def _so_bwd(res, g):
+    raise NotImplementedError(
+        "the int8 DRDB path is serving-only: gradients through the "
+        "quantize/requant rounds are identically zero. Train with "
+        "quant='none' (the default) and quantize the trained weights via "
+        "serving.quantize_for_serving.")
+
+
+_serving_only.defvjp(_so_fwd, _so_bwd)
+
+
 def quantize_kernel(k: jnp.ndarray):
     """Per-output-channel symmetric int8 for an HWIO conv kernel.
     Returns (k_q int8, scale [cout] f32)."""
@@ -75,6 +105,7 @@ def drdb_chain_int8(xs: jnp.ndarray, w: Dict, m: Optional[jnp.ndarray],
     g = w["dconv1"]["kernel"].shape[-1]
     c = xs.shape[-1]
     out_dtype = xs.dtype
+    xs = _serving_only(xs)  # raises under jax.grad (serving-only path)
     if dil == 1 and m is not None and xs.ndim == 4:
         from ..utils.ab import ab
 

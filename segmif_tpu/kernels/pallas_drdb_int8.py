@@ -30,8 +30,10 @@ Quantization semantics match kernels/int8.py.drdb_chain_int8 exactly
 (same scales, same epilogue order), so the interpret-mode parity test
 compares against it directly.
 
-Serving-only: no custom_vjp — taking gradients through the int8 path is a
-usage error and raises at trace time via jax.custom_jvp-less round().
+Serving-only: taking gradients through the int8 path is a usage error and
+raises while the backward pass is traced — the float chain entry in
+kernels/int8.py (`_serving_only`) carries a custom_vjp whose bwd raises
+(round/clip/int casts would otherwise silently yield zero gradients).
 """
 from __future__ import annotations
 

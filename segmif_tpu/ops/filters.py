@@ -64,9 +64,13 @@ def separable_filter(x: jnp.ndarray, win_h, win_w) -> jnp.ndarray:
     train-step category before this rewrite)."""
     th = _toeplitz_1d(x.shape[1], win_h, x.dtype)
     tw = _toeplitz_1d(x.shape[2], win_w, x.dtype)
-    x = jnp.einsum("bhwc,hk->bkwc", x, th,
+    # Contract the SECOND Toeplitz index so out[k] = sum_h T[k, h] x[h] —
+    # true correlation per _toeplitz_1d's contract. (Contracting the first
+    # index applies the flipped window; symmetric/abs-wrapped callers can't
+    # tell, but asymmetric windows would come out sign/shift-flipped.)
+    x = jnp.einsum("bhwc,kh->bkwc", x, th,
                    precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("bhwc,wk->bhkc", x, tw,
+    return jnp.einsum("bhwc,kw->bhkc", x, tw,
                       precision=jax.lax.Precision.HIGHEST)
 
 

@@ -40,6 +40,11 @@ KNOWN = {
     "tail_max_plane": "fusion-tail strip px cap (default 42000, e18 sweep)",
 }
 
+# knobs that carry a numeric value: a bare token (no '=value') would read as
+# True and int(True) == 1 would silently collapse the strip caps to 1 px —
+# exactly the silent-mismeasurement failure mode this registry exists to kill
+VALUE_KNOBS = {"phase_max_plane", "tail_max_plane"}
+
 _cache: dict | None = None
 
 
@@ -57,6 +62,10 @@ def _parse() -> dict:
         if name not in KNOWN:
             raise ValueError(
                 f"unknown SEGMIF_AB token {name!r}; known: {sorted(KNOWN)}")
+        if name in VALUE_KNOBS and not val:
+            raise ValueError(
+                f"SEGMIF_AB token {name!r} requires '=value' "
+                f"(bare token would silently read as 1)")
         out[name] = val if val else True
     return out
 

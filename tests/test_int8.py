@@ -179,3 +179,25 @@ def test_int8_pallas_kernel_matches_xla_chain():
     go = np.asarray(got)[:, halo:-halo]
     d = np.abs(go - ro)
     assert float(d.max()) < 0.05, f"kernel-vs-chain maxdiff {d.max():.5f}"
+
+
+def test_int8_grad_raises_not_silent_zero():
+    """round/clip are differentiable with zero grad, so without a guard a
+    quant='int8' model would train with silently-dead DRDB gradients. The
+    entry/requant quantizers carry a custom_vjp whose bwd raises while the
+    backward pass is traced (ADVICE r4)."""
+    from segmif_tpu.kernels.int8 import drdb_chain_int8, record_amax
+    from segmif_tpu.kernels.pallas_drdb import drdb_apply
+
+    rng = np.random.default_rng(3)
+    w = _weights(rng)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 16)).astype(np.float32))
+    record = []
+    drdb_apply(x, w, "grouped", record=record)
+    amax = record_amax(record[0])
+
+    def loss(xi):
+        return jnp.sum(drdb_chain_int8(xi, w, None, amax, dil=2))
+
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        jax.grad(loss)(x)

@@ -183,3 +183,36 @@ def test_visual_colormap_and_grids():
         rng.normal(size=(2, 4, 4, 9)),
         rng.integers(0, 9, (2, 4, 4)))
     assert gi.dtype == np.uint8 and gp is not None and gl is not None
+
+
+def test_ab_bare_value_knob_raises(monkeypatch):
+    """SEGMIF_AB=tail_max_plane without '=value' must raise, not silently
+    collapse the strip cap to int(True) == 1 px (ADVICE r4)."""
+    import pytest
+
+    from segmif_tpu.utils.ab import ab
+
+    monkeypatch.setenv("SEGMIF_AB", "tail_max_plane")
+    with pytest.raises(ValueError, match="requires '=value'"):
+        ab("tail_max_plane")
+    monkeypatch.setenv("SEGMIF_AB", "phase_max_plane=28800")
+    assert ab("phase_max_plane") == "28800"
+
+
+def test_separable_filter_true_correlation_asymmetric():
+    """separable_filter must apply the window as a CORRELATION (matching
+    depthwise_conv2d / torch F.conv2d), including for asymmetric windows —
+    the signed Sobel components must agree WITHOUT abs (ADVICE r4)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from segmif_tpu.ops.filters import depthwise_conv2d, separable_filter
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 12, 14, 1)).astype(np.float32))
+    # signed sobel gx: [1,2,1]^T (x) [-1,0,1] as written in _SOBEL_X
+    k2 = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    ref = depthwise_conv2d(x, k2, [(1, 1), (1, 1)])
+    got = separable_filter(x, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
