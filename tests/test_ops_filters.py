@@ -137,3 +137,72 @@ def test_resize_bilinear_phase_matches_split_of_resize():
         got = resize_bilinear_phase(x, (oh, ow))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+
+
+def test_toeplitz_vs_conv_grad_agreement(rng):
+    """e26 promoted to the fast tier (VERDICT r4 #7): the Toeplitz-matmul
+    loss formulations (ops/ssim.py::_blur, ops/filters.py::separable_filter)
+    must agree with the depthwise-conv forms at GRAD level in f32 on CPU, so
+    the next loss-formulation surgery is guarded without a TPU window.
+    (bf16/TPU-scale evidence: experiments/e26_blur_bf16_parity.py.)"""
+    import jax
+    from segmif_tpu.ops.filters import gaussian_kernel_1d
+
+    def blur_conv(x, win, pad):
+        dn = ("NHWC", "HWIO", "NHWC")
+        kh = jnp.tile(win[:, None, None, None], (1, 1, 1, x.shape[-1]))
+        kw = jnp.tile(win[None, :, None, None], (1, 1, 1, x.shape[-1]))
+        x = jax.lax.conv_general_dilated(
+            x, kh.astype(x.dtype), (1, 1), [(pad, pad), (0, 0)],
+            dimension_numbers=dn, feature_group_count=x.shape[-1])
+        return jax.lax.conv_general_dilated(
+            x, kw.astype(x.dtype), (1, 1), [(0, 0), (pad, pad)],
+            dimension_numbers=dn, feature_group_count=x.shape[-1])
+
+    def ssim_conv(a, b, window_size=11, sigma=1.5):
+        win = jnp.asarray(gaussian_kernel_1d(window_size, sigma), a.dtype)
+        pad = window_size // 2
+        mu1, mu2 = blur_conv(a, win, pad), blur_conv(b, win, pad)
+        s1 = blur_conv(a * a, win, pad) - mu1 * mu1
+        s2 = blur_conv(b * b, win, pad) - mu2 * mu2
+        s12 = blur_conv(a * b, win, pad) - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        return jnp.mean(m)
+
+    a = jnp.asarray(rng.uniform(0, 1, (2, 24, 28, 1)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (2, 24, 28, 1)).astype(np.float32))
+
+    # SSIM: forward + grad w.r.t. the fused image (the training signal)
+    s_new, g_new = jax.value_and_grad(lambda x: ssim(x, b))(a)
+    s_old, g_old = jax.value_and_grad(lambda x: ssim_conv(x, b))(a)
+    assert abs(float(s_new) - float(s_old)) < 1e-6
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=1e-5, atol=1e-7)
+
+    # Sobel magnitude (the gradient loss): grad agreement too
+    def sobel_conv_sum(x):
+        kx = jnp.asarray([[-1., 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+        ky = jnp.asarray([[1., 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
+        c = x.shape[-1]
+        def dw(t, k2):
+            kern = jnp.tile(k2[:, :, None, None], (1, 1, 1, c))
+            return jax.lax.conv_general_dilated(
+                t, kern, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c)
+        return jnp.sum(jnp.abs(dw(x, kx)) + jnp.abs(dw(x, ky)))
+
+    gs_new = jax.grad(lambda x: jnp.sum(sobel_magnitude(x)))(a)
+    gs_old = jax.grad(sobel_conv_sum)(a)
+    np.testing.assert_allclose(np.asarray(gs_new), np.asarray(gs_old),
+                               rtol=1e-5, atol=1e-6)
+
+    # gaussian_blur (LapLoss levels): grad agreement
+    gb_new = jax.grad(lambda x: jnp.sum(gaussian_blur(x, 5, 2.0)))(a)
+    win5 = jnp.exp(-((jnp.arange(5.) - 2.0) ** 2) / (2 * 2.0**2))
+    win5 = win5 / jnp.sum(win5)
+    gb_old = jax.grad(lambda x: jnp.sum(blur_conv(x, win5, 2)))(a)
+    np.testing.assert_allclose(np.asarray(gb_new), np.asarray(gb_old),
+                               rtol=1e-5, atol=1e-6)
