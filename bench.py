@@ -325,12 +325,16 @@ def main():
     else:
         # official artifact: train + int8-serving + serving lines first,
         # default mode LAST (the driver parses the final line). A train-side
-        # failure must never cost the inference artifact its lines.
-        try:
-            measure_train()
-        except Exception as e:  # noqa: BLE001 — artifact robustness
-            print(f"# train line skipped: {type(e).__name__}: {e}",
-                  flush=True)
+        # failure must never cost the inference artifact its lines; the
+        # CPU-fallback path skips train entirely (its fwd+bwd compile takes
+        # >15 min on the single-core host, blowing time-to-first-JSON, and
+        # the tiny-shape number is meaningless anyway — use --train).
+        if on_tpu:
+            try:
+                measure_train()
+            except Exception as e:  # noqa: BLE001 — artifact robustness
+                print(f"# train line skipped: {type(e).__name__}: {e}",
+                      flush=True)
         measure(serving=True, provisional_line=False, int8=True)
         measure(serving=True, provisional_line=False)
         measure(serving=False, provisional_line=True)
