@@ -103,10 +103,15 @@ def main():
             print(f"train step, {label:28s}: FAILED "
                   f"{type(e).__name__}: {str(e)[:140]}", flush=True)
 
-    if args.profile and "remat everywhere (default)" in results:
+    if args.profile and results:
         from e8_profile_r3 import TRACE_DIR, hlo_stats
 
-        _, many, (st, sv, bt) = results["remat everywhere (default)"]
+        # profile the round-4+ default (fusion-only remat) when present,
+        # else the first measured config
+        key = ("remat fusion-only" if "remat fusion-only" in results
+               else next(iter(results)))
+        print(f"\nprofiling config: {key}", flush=True)
+        _, many, (st, sv, bt) = results[key]
         float(many(st, sv, bt))
         jax.profiler.start_trace(TRACE_DIR)
         float(many(st, sv, bt))

@@ -483,7 +483,7 @@ def drdb_plane_core(xs: jnp.ndarray, w: Dict, qscales=None,
         from .int8 import drdb_chain_int8
 
         return drdb_chain_int8(xs, w, None, qscales, dil=1)
-    return _drdb_chain(xs, w, jax.nn.relu, record)
+    return _drdb_chain(xs, w, None, record)
 
 
 def drdb_strips_core(xs: jnp.ndarray, w: Dict,
@@ -506,25 +506,27 @@ def drdb_strips_core(xs: jnp.ndarray, w: Dict,
         from .int8 import drdb_chain_int8
 
         return drdb_chain_int8(xs, w, m, qscales, dil=1)
-    m = m.astype(xs.dtype)
-
-    def relu(t):
-        return jax.nn.relu(t) * m
-
-    return _drdb_chain(xs, w, relu, record)
+    return _drdb_chain(xs, w, m, record)
 
 
-def _drdb_chain(xs: jnp.ndarray, w: Dict, relu,
-                record=None) -> jnp.ndarray:
-    """Shared dil-1 DRDB conv chain (strips and whole-plane layouts).
-    record (optional list): calibration hook — appends (x, r1..r5), the
-    tensors whose abs-maxes become the int8 chain's static scales."""
-    g = w["dconv1"]["kernel"].shape[-1]
+def _growth_rs(xs: jnp.ndarray, ks, bs, m, dil: int, record=None):
+    """The 5-conv dense-growth chain in the grouped-wide formulation
+    (conv-over-concat == sum of per-source wide convs), returning
+    (r1..r5). ks/bs: the 5 NAIVE per-conv kernels/biases (raw param dtype;
+    cast happens here). m: optional in-image re-zero mask multiplied after
+    every relu (strips layout), None for whole planes."""
+    g = ks[0].shape[-1]
     c = xs.shape[-1]
     dt = xs.dtype
+    bsd = [b.astype(dt) for b in bs]
 
-    ks = [w[f"dconv{i + 1}"]["kernel"] for i in range(5)]
-    bs = [w[f"dconv{i + 1}"]["bias"].astype(dt) for i in range(5)]
+    if m is None:
+        relu = jax.nn.relu
+    else:
+        md = m.astype(dt)
+
+        def relu(t):
+            return jax.nn.relu(t) * md
 
     def grp(s):
         lo = c + (s - 1) * g if s > 0 else 0
@@ -534,21 +536,144 @@ def _drdb_chain(xs: jnp.ndarray, w: Dict, relu,
 
     def dconv(src, k):
         return jax.lax.conv_general_dilated(
-            src, k, (1, 1), [(1, 1), (1, 1)],
+            src, k, (1, 1), [(dil, dil), (dil, dil)],
+            rhs_dilation=(dil, dil),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     yx = dconv(xs, grp(0))
-    r1 = relu(yx[..., 0:g] + bs[0])
+    r1 = relu(yx[..., 0:g] + bsd[0])
     y1 = dconv(r1, grp(1))
-    r2 = relu(yx[..., g:2 * g] + y1[..., 0:g] + bs[1])
+    r2 = relu(yx[..., g:2 * g] + y1[..., 0:g] + bsd[1])
     y2 = dconv(r2, grp(2))
-    r3 = relu(yx[..., 2 * g:3 * g] + y1[..., g:2 * g] + y2[..., 0:g] + bs[2])
+    r3 = relu(yx[..., 2 * g:3 * g] + y1[..., g:2 * g] + y2[..., 0:g]
+              + bsd[2])
     y3 = dconv(r3, grp(3))
     r4 = relu(yx[..., 3 * g:4 * g] + y1[..., 2 * g:3 * g] + y2[..., g:2 * g]
-              + y3[..., 0:g] + bs[3])
+              + y3[..., 0:g] + bsd[3])
     y4 = dconv(r4, grp(4))
-    r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g] + y2[..., 2 * g:3 * g]
-              + y3[..., g:2 * g] + y4 + bs[4])
+    r5 = relu(yx[..., 4 * g:5 * g] + y1[..., 3 * g:4 * g]
+              + y2[..., 2 * g:3 * g] + y3[..., g:2 * g] + y4 + bsd[4])
+    if record is not None:
+        record.append((xs, r1, r2, r3, r4, r5))
+    return r1, r2, r3, r4, r5
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _growth_chain(dil: int, xs, ks, bs, m):
+    """Growth chain with a TARGET-GROUPED custom backward.
+
+    XLA's autodiff mechanically transposes the source-grouped forward
+    (wide-OUTPUT convs 64->160, 32->128, ...) into narrow-output backward
+    convs (160->64, 128->32, ...) — the MXU-lane-wasting shape the grouped
+    forward was designed to avoid (e21 round-5 profile: DRDB input-grad
+    convs at 14.8-48 TF/s HBM-bound, ~17 ms/DRDB, vs 95-162 forward).
+
+    The dense-growth structure admits the mirror regrouping for the
+    backward: pre_t = concat(x, r1..r_{t-1}) (*) L_t with the NAIVE kernel
+    L_t, so  d src = sum_t dpre_t (*) flip(L_t^T)  — five convs with
+    narrow 32-ch INPUTS and wide 64..192-ch outputs. Weight grads stay on
+    XLA's native kernel-grad lowering in the grouped parameterization
+    (measured fine: 95-111 TF/s compute bound), reassembled into
+    naive-kernel cotangents by pure slicing.
+
+    MEASURED OUTCOME (v5e, bench.py --train A/B, round 5): 11.14 vs 11.48
+    pairs/s — the regrouping LOSES ~3%. The input-grad convs are
+    HBM-bound, not lane-bound: the target-grouped form reads narrow but
+    WRITES wide d-src tensors (3.7 GB of g_t outputs whose lower slices
+    wait in HBM for later accumulation) where XLA's narrow-output
+    transpose writes 1.1 GB — the byte totals trade within ~10% and XLA's
+    schedule wins. Kept as opt-in SEGMIF_AB=drdb_bwd_tg (trace-time) with
+    grad parity pinned by
+    tests/test_drdb_kernel.py::test_growth_chain_custom_bwd_matches_autodiff."""
+    return _growth_rs(xs, ks, bs, m, dil)
+
+
+def _growth_chain_fwd(dil, xs, ks, bs, m):
+    rs = _growth_rs(xs, ks, bs, m, dil)
+    return rs, (xs, ks, bs, m, rs)
+
+
+def _growth_chain_bwd(dil, res, drs):
+    xs, ks, bs, m, rs = res
+    dt = xs.dtype
+    g = ks[0].shape[-1]
+    c = xs.shape[-1]
+    drs = [d.astype(dt) for d in drs]
+    # relu'(pre)*mask == 1[r > 0]: r = relu(pre) * m with m in {0, 1}
+    sig = [(r > 0).astype(dt) for r in rs]
+
+    def bwd_in(dy, k):
+        # d src of conv(src, k): SAME-geometry conv of dy with the
+        # spatially-flipped, in/out-transposed kernel (stride 1, dil d)
+        kT = jnp.flip(k, (0, 1)).transpose(0, 1, 3, 2).astype(dt)
+        return jax.lax.conv_general_dilated(
+            dy, kT, (1, 1), [(dil, dil), (dil, dil)],
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    dpre5 = drs[4] * sig[4]
+    g5 = bwd_in(dpre5, ks[4])                       # [..., c+4g]
+    dpre4 = (drs[3] + g5[..., c + 3 * g:c + 4 * g]) * sig[3]
+    g4 = bwd_in(dpre4, ks[3])                       # [..., c+3g]
+    dpre3 = (drs[2] + g5[..., c + 2 * g:c + 3 * g]
+             + g4[..., c + 2 * g:c + 3 * g]) * sig[2]
+    g3 = bwd_in(dpre3, ks[2])                       # [..., c+2g]
+    dpre2 = (drs[1] + g5[..., c + g:c + 2 * g] + g4[..., c + g:c + 2 * g]
+             + g3[..., c + g:c + 2 * g]) * sig[1]
+    g2 = bwd_in(dpre2, ks[1])                       # [..., c+g]
+    dpre1 = (drs[0] + g5[..., c:c + g] + g4[..., c:c + g]
+             + g3[..., c:c + g] + g2[..., c:c + g]) * sig[0]
+    g1 = bwd_in(dpre1, ks[0])                       # [..., c]
+    dxs = (g1 + g2[..., :c] + g3[..., :c] + g4[..., :c] + g5[..., :c])
+
+    # weight grads via XLA's native kernel-grad conv in the GROUPED
+    # parameterization (wide dy operands), reassembled into naive slices
+    dpres = [dpre1, dpre2, dpre3, dpre4, dpre5]
+    srcs = [xs] + list(rs[:4])
+    dkg = []
+    for s in range(5):
+        dy_s = (dpres[s] if s == 4
+                else jnp.concatenate(dpres[s:], axis=-1))
+        cin_s = c if s == 0 else g
+        zk = jnp.zeros((3, 3, cin_s, (5 - s) * g), ks[0].dtype)
+        _, vjp = jax.vjp(
+            lambda k, src=srcs[s]: jax.lax.conv_general_dilated(
+                src, k.astype(dt), (1, 1), [(dil, dil), (dil, dil)],
+                rhs_dilation=(dil, dil),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), zk)
+        dkg.append(vjp(dy_s)[0])
+    dks = []
+    for i in range(5):                      # naive kernel of target i+1
+        parts = []
+        for s in range(i + 1):              # source blocks x, r1..r_i
+            off = (i - s) * g               # target i+1 at position i-s
+            parts.append(dkg[s][:, :, :, off:off + g])
+        dks.append(jnp.concatenate(parts, axis=2))
+    dbs = [jnp.sum(d, axis=(0, 1, 2), dtype=bs[0].dtype) for d in dpres]
+    dm = None if m is None else jnp.zeros_like(m)
+    return (dxs, tuple(dks), tuple(dbs), dm)
+
+
+_growth_chain.defvjp(_growth_chain_fwd, _growth_chain_bwd)
+
+
+def _drdb_chain(xs: jnp.ndarray, w: Dict, m=None,
+                record=None) -> jnp.ndarray:
+    """Shared dil-1 DRDB conv chain (strips and whole-plane layouts).
+    m: optional in-image re-zero mask (strips layout; None = whole planes).
+    record (optional list): calibration hook — appends (x, r1..r5), the
+    tensors whose abs-maxes become the int8 chain's static scales."""
+    ks = tuple(w[f"dconv{i + 1}"]["kernel"] for i in range(5))
+    bs = tuple(w[f"dconv{i + 1}"]["bias"] for i in range(5))
+    if record is None and ab("drdb_bwd_tg"):
+        # opt-in target-grouped custom backward — measured 3% SLOWER than
+        # XLA autodiff on v5e (see _growth_chain docstring)
+        rs = _growth_chain(1, xs, ks, bs, m)
+    else:
+        rs = _growth_rs(xs, ks, bs, m, 1, record)
     # The tail (concat -> 1x1 bottleneck -> relu -> residual) dispatches
     # through pallas_drdb_tail.drdb_tail: the XLA concat form by default
     # (measured FASTER than the fused Pallas tail, which pays ~16 ms of
@@ -556,11 +681,9 @@ def _drdb_chain(xs: jnp.ndarray, w: Dict, relu,
     # opt-in via SEGMIF_AB=pallas_tail. Distributing the bottleneck over
     # the sources as 6 small XLA convs was also measured slower on v5e
     # (+8 ms/DRDB: each K=32 conv pays the per-conv floor).
-    if record is not None:
-        record.append((xs, r1, r2, r3, r4, r5))
     from .pallas_drdb_tail import drdb_tail
 
-    return drdb_tail(xs, (r1, r2, r3, r4, r5), w)
+    return drdb_tail(xs, rs, w)
 
 
 def drdb_phase_core(xp: jnp.ndarray, w: Dict, strip: int,

@@ -33,6 +33,8 @@ KNOWN = {
     "drdb_phase_nostrip": "whole-plane DRDB, no strips: LOST e7 (+26 ms)",
     "drdb_pallas": "round-1 fused image-space DRDB kernel: LOST e11 (1.5x)",
     "drdb_no_phase": "disable phase decomposition (grouped conv fallback)",
+    "drdb_bwd_tg": "target-grouped custom DRDB backward: LOST r5 "
+                   "(11.14 vs 11.48 pairs/s train — wide d-src writes)",
     "pallas_tail": "fused DRDB-tail kernel: LOST add. 6 (relayout tax)",
     "drdb_int8": "int8 DRDB conv path (round-4 A/B; see OPTIMIZATION.md)",
     "drdb_int8_pallas": "fused int8 whole-DRDB kernel (round-4 attempt)",

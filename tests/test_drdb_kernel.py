@@ -211,3 +211,56 @@ def test_tail_kernel_matches_xla_tail(setup):
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_growth_chain_custom_bwd_matches_autodiff(monkeypatch):
+    """Round-5 target-grouped custom backward (_growth_chain): grads w.r.t.
+    input, every kernel, and every bias must match plain XLA autodiff of the
+    same grouped forward, with AND without the strips re-zero mask."""
+    rng = np.random.default_rng(5)
+    c, g = 16, 8
+    w = _weights(rng, c=c, g=g)
+    ks = tuple(w[f"dconv{i + 1}"]["kernel"] for i in range(5))
+    bs = tuple(w[f"dconv{i + 1}"]["bias"] for i in range(5))
+    x = jnp.asarray(rng.normal(size=(2, 20, 24, c)).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.uniform(size=(2, 20, 1, 1)) > 0.2).astype(np.float32))
+
+    for m in (None, mask):
+        def loss_custom(x, ks, bs, m=m):
+            rs = pd._growth_chain(1, x, ks, bs, m)
+            return sum(jnp.sum(r ** 2) * (i + 1) for i, r in enumerate(rs))
+
+        def loss_auto(x, ks, bs, m=m):
+            rs = pd._growth_rs(x, ks, bs, m, 1)
+            return sum(jnp.sum(r ** 2) * (i + 1) for i, r in enumerate(rs))
+
+        gc = jax.grad(loss_custom, argnums=(0, 1, 2))(x, ks, bs)
+        ga = jax.grad(loss_auto, argnums=(0, 1, 2))(x, ks, bs)
+        for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(ga)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_drdb_strips_core_grad_custom_vs_auto(monkeypatch):
+    """End-to-end DRDB (strips core incl. tail): the opt-in
+    SEGMIF_AB=drdb_bwd_tg custom-vjp path vs the default autodiff path —
+    values AND grads agree."""
+    rng = np.random.default_rng(6)
+    c, g = 16, 8
+    w = _weights(rng, c=c, g=g)
+    x = jnp.asarray(rng.normal(size=(4, 14, 16, c)).astype(np.float32))
+    m = jnp.asarray(
+        (rng.uniform(size=(4, 14, 1, 1)) > 0.15).astype(np.float32))
+
+    def loss(x, w):
+        return jnp.sum(pd.drdb_strips_core(x, w, m) ** 2)
+
+    monkeypatch.setenv("SEGMIF_AB", "drdb_bwd_tg")
+    vc, gc = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+    monkeypatch.delenv("SEGMIF_AB", raising=False)
+    va, ga = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+    assert abs(float(vc) - float(va)) < 1e-3
+    for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(ga)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
