@@ -72,6 +72,14 @@ class FusionPhaseConfig:
                                        # through a remote-TPU tunnel vs 87 ms
                                        # of actual compute, round-4 notes)
     ssim_weight: float = 1.1
+    grad_accum: int = 1                # micro-batches per optimizer step:
+                                       # >1 means each iter runs grad_accum
+                                       # fwd/bwd passes of batch_size and
+                                       # applies ONE update on the MEAN
+                                       # gradient — effective batch
+                                       # batch_size*grad_accum past the
+                                       # per-chip activation ceiling (b16
+                                       # fwd+bwd OOMs at 480x640; r4 add. 7)
     checkpoint_every: int = 500
     warmup_iter: int = 0               # reference's warmup is effectively off
     warmup_ratio: float = 1e-4

@@ -199,12 +199,22 @@ class InteractiveTrainer:
         # trajectory — a crash at iter k loses at most checkpoint_every-1
         # steps, none of the optimizer state (VERDICT round-2 weak #4)
         state, start_iter = self._restore_phase("fusion", round_idx, state)
+        accum = max(1, fp.grad_accum)
         step_fn = jax.jit(make_fusion_train_step(
             self.model, tx, round1=(round_idx == 1),
             ignore_index=cfg.data.ignore_index, seg_scale=fp.seg_scale,
             dwa_temperature=fp.dwa_temperature,
-            dwa_warmup_steps=fp.dwa_warmup_steps),
+            dwa_warmup_steps=fp.dwa_warmup_steps,
+            grad_accum=accum),
             donate_argnums=(0,))
+        if accum > 1 and fp.train_chunk > 1:
+            raise ValueError("fusion.grad_accum > 1 is not supported "
+                             "together with fusion.train_chunk > 1")
+        if accum > 1 and self.cfg.mesh_data > 1:
+            # DP already multiplies the effective batch; the [A, B, ...]
+            # micro layout would shard the accumulation axis, not batch
+            raise ValueError("fusion.grad_accum > 1 requires mesh_data == 1 "
+                             "(use data parallelism OR accumulation)")
         fusion_scale = jnp.asarray(fp.fusion_scale_base / round_idx,
                                    jnp.float32)
         aug = AugConfig(crop_size=fp.crop_size,
@@ -262,13 +272,30 @@ class InteractiveTrainer:
                     last_ckpt = n_iter
         else:
             for n_iter in range(start_iter, iters):
-                k = jax.random.fold_in(base_rng, n_iter)
-                raw = next(it)
-                batch = augment_batch(k, jnp.asarray(raw["ir"]),
-                                      jnp.asarray(raw["vis"]),
-                                      jnp.asarray(raw["guide"]),
-                                      jnp.asarray(raw["label"]), aug,
-                                      cfg.data.num_classes)
+                if accum > 1:
+                    # one optimizer step consumes `accum` prefetcher
+                    # batches; each micro-batch gets its own augment rng
+                    # (sub-folds of the iter key)
+                    k = jax.random.fold_in(base_rng, n_iter)
+                    micro = []
+                    for j in range(accum):
+                        raw = next(it)
+                        micro.append(augment_batch(
+                            jax.random.fold_in(k, j),
+                            jnp.asarray(raw["ir"]), jnp.asarray(raw["vis"]),
+                            jnp.asarray(raw["guide"]),
+                            jnp.asarray(raw["label"]), aug,
+                            cfg.data.num_classes))
+                    batch = {f: jnp.stack([m[f] for m in micro])
+                             for f in micro[0]}
+                else:
+                    k = jax.random.fold_in(base_rng, n_iter)
+                    raw = next(it)
+                    batch = augment_batch(k, jnp.asarray(raw["ir"]),
+                                          jnp.asarray(raw["vis"]),
+                                          jnp.asarray(raw["guide"]),
+                                          jnp.asarray(raw["label"]), aug,
+                                          cfg.data.num_classes)
                 batch = put_batch(self.mesh, batch)
                 state, metrics = step_fn(state, seg_vars, batch, fusion_scale)
                 if (n_iter + 1) % cfg.log_iters == 0:

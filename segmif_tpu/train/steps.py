@@ -65,7 +65,8 @@ def make_fusion_train_step(joint_model, tx, round1: bool,
                            ignore_index: int = 255,
                            seg_scale: float = 0.8,
                            dwa_temperature: float = 1000.0,
-                           dwa_warmup_steps: int = 10) -> Callable:
+                           dwa_warmup_steps: int = 10,
+                           grad_accum: int = 1) -> Callable:
     """joint_model: JointPipeline. Returns
     step(state, seg_variables, batch, fusion_scale) -> (state, metrics).
 
@@ -73,6 +74,16 @@ def make_fusion_train_step(joint_model, tx, round1: bool,
     image — fusion target AND seg-feature source), 'label': [B,H,W]}.
     fusion_scale: scalar array (0.4/round in the reference), passed as data
     so all rounds >=2 share one compiled program.
+
+    grad_accum (A > 1): batch arrays carry a leading micro-batch dim
+    [A, B, ...]; the step runs A fwd/bwd micro-passes under lax.scan,
+    MEANS the gradients and losses, and applies ONE optimizer update —
+    the effective batch A*B exceeds the per-chip activation ceiling
+    (b16 fwd+bwd OOMs at 480x640 even with fusion-only remat: 22.02G vs
+    15.75G, OPTIMIZATION.md round-4 addendum 7). Identical math to a
+    single pass over the concatenated batch when every loss is a
+    batch-mean and the micro-batches are equal-sized (pinned by
+    tests/test_train.py::test_fusion_step_grad_accum_matches_big_batch).
     """
 
     def taps_fn(seg_variables, guide):
@@ -85,46 +96,59 @@ def make_fusion_train_step(joint_model, tx, round1: bool,
             method=lambda m, g, det: m.seg.encode_taps_raw(g, det))
 
     def step(state: FusionTrainState, seg_variables, batch, fusion_scale):
-        tap1, tap2 = taps_fn(seg_variables, batch["guide"])
-        tap1 = jax.lax.stop_gradient(tap1)
-        tap2 = jax.lax.stop_gradient(tap2)
-        vis_ycrcb = rgb_to_ycrcb(batch["vis"])
-        guide_y = rgb_to_ycrcb(batch["guide"])[..., 0:1]
-
-        def apply_fusion(params, ir, vis_y):
-            return joint_model.apply(
-                {"params": {"fusion": params}}, ir, vis_y, tap1, tap2,
+        def loss_fn(params, mb):
+            tap1, tap2 = taps_fn(seg_variables, mb["guide"])
+            tap1 = jax.lax.stop_gradient(tap1)
+            tap2 = jax.lax.stop_gradient(tap2)
+            vis_ycrcb = rgb_to_ycrcb(mb["vis"])
+            guide_y = rgb_to_ycrcb(mb["guide"])[..., 0:1]
+            fused_y = joint_model.apply(
+                {"params": {"fusion": params}}, mb["ir"],
+                vis_ycrcb[..., 0:1], tap1, tap2,
                 method=lambda m, a, b, c, d: m.fusion(a, b, c, d))
-
-        if round1:
-            def loss_fn(params):
-                fused_y = apply_fusion(params, batch["ir"], vis_ycrcb[..., 0:1])
-                loss = fusion_loss_l1_grad(batch["ir"], vis_ycrcb, fused_y,
+            if round1:
+                loss = fusion_loss_l1_grad(mb["ir"], vis_ycrcb, fused_y,
                                            guide_y)
                 return loss, (loss, jnp.zeros(()), jnp.ones((2,)))
-        else:
-            def loss_fn(params):
-                fused_y = apply_fusion(params, batch["ir"], vis_ycrcb[..., 0:1])
-                loss1 = fusion_loss_mse_ssim(batch["ir"], vis_ycrcb, fused_y,
-                                             guide_y)
-                # unclipped RGB recombination, as fed to Network3._loss
-                # (train.py:363-368)
-                fused_rgb = ycrcb_to_rgb(
-                    jnp.concatenate([fused_y, vis_ycrcb[..., 1:]], axis=-1))
-                logits = joint_model.apply(
-                    seg_variables, fused_rgb, True,
-                    method=lambda m, x, det: m.seg(x, det))
-                logits = resize_bilinear(logits.astype(jnp.float32),
-                                         batch["label"].shape[1:3])
-                loss2 = cross_entropy(logits, batch["label"], ignore_index)
-                total, new_dwa, w = dwa_combine(
-                    state.dwa, loss1, loss2, fusion_scale, seg_scale,
-                    dwa_temperature, dwa_warmup_steps)
-                del new_dwa  # state update happens outside the grad
-                return total, (loss1, loss2, w)
+            loss1 = fusion_loss_mse_ssim(mb["ir"], vis_ycrcb, fused_y,
+                                         guide_y)
+            # unclipped RGB recombination, as fed to Network3._loss
+            # (train.py:363-368)
+            fused_rgb = ycrcb_to_rgb(
+                jnp.concatenate([fused_y, vis_ycrcb[..., 1:]], axis=-1))
+            logits = joint_model.apply(
+                seg_variables, fused_rgb, True,
+                method=lambda m, x, det: m.seg(x, det))
+            logits = resize_bilinear(logits.astype(jnp.float32),
+                                     mb["label"].shape[1:3])
+            loss2 = cross_entropy(logits, mb["label"], ignore_index)
+            total, new_dwa, w = dwa_combine(
+                state.dwa, loss1, loss2, fusion_scale, seg_scale,
+                dwa_temperature, dwa_warmup_steps)
+            del new_dwa  # state update happens outside the grad
+            return total, (loss1, loss2, w)
 
-        (total, (loss1, loss2, w)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if grad_accum > 1:
+            # micro-batch scan: mean of grads == grad of the concat batch
+            # (all losses are batch-means; equal micro-batch sizes)
+            def body(carry, mb):
+                gsum, tsum, l1sum, l2sum = carry
+                (tot, (l1, l2, w)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, mb)
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (gsum, tsum + tot, l1sum + l1, l2sum + l2), w
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, tot, l1s, l2s), ws = jax.lax.scan(
+                body, (zeros, jnp.float32(0), jnp.float32(0),
+                       jnp.float32(0)), batch)
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, gsum)
+            total, loss1, loss2 = tot * inv, l1s * inv, l2s * inv
+            w = jax.tree.map(lambda x: x[0], ws)
+        else:
+            (total, (loss1, loss2, w)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         _, new_dwa, _ = dwa_combine(state.dwa, loss1, loss2, fusion_scale,

@@ -75,3 +75,44 @@ def test_chunked_matches_loop(round1):
         state.params, state_c.params)
     assert max(jax.tree.leaves(diffs)) < 2e-3
     assert int(state_c.step) == k_sz
+
+
+@pytest.mark.parametrize("round1", [True, False])
+def test_fusion_step_grad_accum_matches_big_batch(round1):
+    """grad_accum=2 over two micro-batches of size B must produce the same
+    optimizer update as one step over the concatenated 2B batch (all losses
+    are batch-means; equal micro-batch sizes)."""
+    b, h, w = 2, 32, 32
+    model = JointPipeline("mit_b0", num_classes=5, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, h, w, 1)),
+                           jnp.zeros((1, h, w, 3)))
+    seg_vars = {"params": {"seg": variables["params"]["seg"]},
+                "batch_stats": {"seg": variables.get(
+                    "batch_stats", {}).get("seg", {})}}
+    tx = adamw_poly(1e-3, 0, 100)
+    fusion_scale = jnp.float32(0.4)
+
+    gen = np.random.default_rng(3)
+    big = {"ir": jnp.asarray(gen.uniform(0, 1, (2 * b, h, w, 1)),
+                             jnp.float32),
+           "vis": jnp.asarray(gen.uniform(0, 1, (2 * b, h, w, 3)),
+                              jnp.float32),
+           "guide": jnp.asarray(gen.uniform(0, 1, (2 * b, h, w, 3)),
+                                jnp.float32),
+           "label": jnp.asarray(gen.integers(0, 5, (2 * b, h, w)),
+                                jnp.int32)}
+    micro = {f: v.reshape((2, b) + v.shape[1:]) for f, v in big.items()}
+
+    step_big = jax.jit(make_fusion_train_step(model, tx, round1=round1))
+    step_acc = jax.jit(make_fusion_train_step(model, tx, round1=round1,
+                                              grad_accum=2))
+    s0 = FusionTrainState.create(variables["params"]["fusion"], tx)
+    s_big, m_big = step_big(s0, seg_vars, big, fusion_scale)
+    s_acc, m_acc = step_acc(s0, seg_vars, micro, fusion_scale)
+
+    assert abs(float(m_big["loss"]) - float(m_acc["loss"])) < 1e-4
+    diffs = jax.tree.map(lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+                         s_big.params, s_acc.params)
+    assert max(jax.tree.leaves(diffs)) < 2e-3
+    assert int(s_acc.step) == 1
