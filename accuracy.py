@@ -19,6 +19,12 @@ Sections (each skippable):
    agreement on converted reference weights (the tests/test_bf16_drift.py
    harness, mit_b1 480x640) — the numbers that gate the bf16 default.
    --drift_int8 adds the same comparison for the int8 serving path.
+   NOTE "converted reference weights" = the reference ARCHITECTURE's
+   torch-initialized (seed-0 random) weights round-tripped through the
+   checkpoint converters — the reference repo ships no trained
+   checkpoints (downloads only), so architecture-level parity is the
+   strongest claim any harness here can make; it is NOT drift on a
+   trained model.
 
 The LAST stdout line is the JSON artifact.
 """
