@@ -30,6 +30,21 @@ if not _TPU_RUN:
     # fp32 tests verify numerics; don't let the backend drop matmuls to bf16
     jax.config.update("jax_default_matmul_precision", "highest")
 
+# The suite's wall time is ~90% XLA:CPU compiles of model-sized jits on the
+# single-core host. Enable the persistent compilation cache (same dir as
+# bench.py) so repeat runs — the common case for a dev loop and for the
+# driver — skip recompiles; the first-ever run pays full cost. Disable
+# with SEGMIF_TEST_NO_CACHE=1 for a cold-compile timing.
+if not os.environ.get("SEGMIF_TEST_NO_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -126,12 +126,12 @@ def test_fusion_attention_maps():
     t1 = jnp.ones((1, 8, 8, 4))
     t2 = jnp.ones((1, 8, 8, 6))
     p = m.init(KEY, ir, ir, t1, t2)
-    y, maps = m.apply(p, ir, ir, t1, t2)
+    y, maps = jax.jit(m.apply)(p, ir, ir, t1, t2)
     assert y.shape == (1, 8, 8, 1)
     assert len(maps) == 2  # one context per interaction round
     # same params usable without attention outputs
     m2 = FusionNetwork(channels=16, num_heads=4)
-    y2 = m2.apply(p, ir, ir, t1, t2)
+    y2 = jax.jit(m2.apply)(p, ir, ir, t1, t2)
     # the non-context path folds the end projections into the context
     # matrices (same math, different fp association) — tolerance covers it
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
