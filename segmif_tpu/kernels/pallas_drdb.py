@@ -31,6 +31,7 @@ Backward: custom_vjp recomputes through the XLA reference chain.
 """
 from __future__ import annotations
 
+import functools as _functools
 import os
 from typing import Dict
 
@@ -556,9 +557,6 @@ def _growth_rs(xs: jnp.ndarray, ks, bs, m, dil: int, record=None):
     if record is not None:
         record.append((xs, r1, r2, r3, r4, r5))
     return r1, r2, r3, r4, r5
-
-
-import functools as _functools
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
