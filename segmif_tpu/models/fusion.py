@@ -474,7 +474,13 @@ class FusionNetwork(nn.Module):
         alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,))
         drdb_cls = (nn.remat(DRDB, static_argnums=(2,)) if self.remat
                     else DRDB)
-        ffm_cls = (nn.remat(FeatureFusionModule) if self.remat
+        # remat covers the DRDBs only: keeping the FFM's activations and
+        # skipping its backward replay measured FASTER at full training
+        # shape and fits b8 HBM (round-5: 11.89 vs 11.48 pairs/s train).
+        # SEGMIF_AB=remat_ffm (trace-time) restores the replay for
+        # memory-constrained shapes.
+        ffm_cls = (nn.remat(FeatureFusionModule)
+                   if self.remat and ab("remat_ffm")
                    else FeatureFusionModule)
         # one FFM instance called at both interaction rounds = weight sharing,
         # the reference's (quirky but behavior-defining) layout

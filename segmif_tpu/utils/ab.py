@@ -35,6 +35,9 @@ KNOWN = {
     "drdb_no_phase": "disable phase decomposition (grouped conv fallback)",
     "drdb_bwd_tg": "target-grouped custom DRDB backward: LOST r5 "
                    "(11.14 vs 11.48 pairs/s train — wide d-src writes)",
+    "remat_ffm": "rematerialize the FFM under grad (pre-r5 default): "
+                 "LOST r5 (11.48 vs 11.89 pairs/s train); keeps HBM lower "
+                 "for memory-constrained shapes",
     "pallas_tail": "fused DRDB-tail kernel: LOST add. 6 (relayout tax)",
     "drdb_int8": "int8 DRDB conv path (round-4 A/B; see OPTIMIZATION.md)",
     "drdb_int8_pallas": "fused int8 whole-DRDB kernel (round-4 attempt)",
